@@ -1,0 +1,23 @@
+"""Test harness config: force an 8-virtual-device CPU backend.
+
+Tests never need real TPU hardware; multi-device sharding paths are exercised
+on a forced 8-device CPU mesh per the driver contract. Must run before any
+``import jax`` in test modules, hence set here at conftest import time.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep torch (test oracle) single-threaded and deterministic.
+os.environ.setdefault("OMP_NUM_THREADS", "2")
+
+# Persistent compilation cache: most test time is XLA compiles of the same
+# shapes; cache them across runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

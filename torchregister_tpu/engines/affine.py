@@ -1,0 +1,93 @@
+"""Affine registration engine.
+
+TPU-native redesign of reference ``affine_register`` (warpings.py:30-113). The
+reference parameterizes theta through a zero-initialized two-layer MLP whose
+dead ReLU confines all gradient flow to the final bias — i.e. it *effectively*
+optimizes a direct, identity-initialized theta (SURVEY.md §2). We implement
+that effective parameterization directly: a flat ``[d*(d+1)]`` theta vector,
+identity-initialized, same SGD dynamics, none of the dead weight.
+
+The ``per`` voxel-subsampling argument only ever fed the dead MLP input in the
+reference (sampled once at warpings.py:62-65, observably irrelevant to the
+result); it is accepted for API parity and ignored.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import resolve_criteria, weighted_loss
+from ..ops.edge import edge_filter
+from ..ops.resample import warp_affine
+from ..ops.transforms import identity_theta
+from .common import RegistrationResult, make_optimizer, optimize_scan
+
+
+@lru_cache(maxsize=64)
+def _build_affine_fn(
+    criteria: tuple,
+    weights: tuple,
+    lr: float,
+    epochs: int,
+    optimizer: str,
+    ndim: int,
+):
+    loss = weighted_loss(criteria, weights)
+    tx = make_optimizer(optimizer, lr)
+
+    def run(moving, target, params0):
+        def loss_fn(params):
+            theta = params.reshape(1, ndim, ndim + 1)
+            warped = warp_affine(theta, moving)
+            return loss(target, warped)
+
+        final_params, best_params, best_loss, losses = optimize_scan(
+            loss_fn, params0, tx, epochs
+        )
+        return RegistrationResult(
+            final_theta=final_params.reshape(1, ndim, ndim + 1),
+            best_theta=best_params.reshape(1, ndim, ndim + 1),
+            final_params=final_params,
+            best_params=best_params,
+            losses=losses,
+            best_loss=best_loss,
+        )
+
+    return jax.jit(run)
+
+
+def affine_register(
+    moving: jnp.ndarray,
+    target: jnp.ndarray,
+    lr: float = 1e-5,
+    epochs: int = 1000,
+    per: float = 0.1,
+    criterions=None,
+    weights=None,
+    grad_edges: bool = True,
+    optimizer: str = "sgd",
+    init_theta: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, RegistrationResult]:
+    """Register ``moving [1,1,*S]`` onto ``target`` with a full affine matrix.
+
+    Returns ``(warped_best, result)``. ``init_theta`` (``[1, d, d+1]`` or flat)
+    lets cascades warm-start from a previous stage; default is identity
+    (matching the reference's effective init, warpings.py:47-48,54-55).
+    """
+    del per  # dead in the reference too — see module docstring
+    if grad_edges:
+        moving = edge_filter(moving)
+        target = edge_filter(target)
+    criteria, w = resolve_criteria(criterions, weights)
+    ndim = moving.ndim - 2
+    if init_theta is None:
+        params0 = identity_theta(ndim).reshape(-1)
+    else:
+        params0 = jnp.asarray(init_theta, jnp.float32).reshape(-1)
+    run = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
+                           optimizer, ndim)
+    result = run(moving, target, params0)
+    warped_best = warp_affine(result.best_theta, moving)
+    return warped_best, result

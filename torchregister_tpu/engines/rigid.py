@@ -1,0 +1,102 @@
+"""Rigid (SE(2)/SE(3)) registration engine.
+
+TPU-native redesign of reference ``rigid_register`` (warpings.py:117-174):
+parameters are a 6-vector (3D: Euler angles + bounded translations) or 3-vector
+(2D), mapped to an affine matrix by :func:`rigid_theta` and optimized with a
+jitted ``lax.scan`` loop (SURVEY.md §7 design stance). The reference's random
+``torch.rand`` init (utils.py:316-321) is reproduced via ``jax.random.uniform``
+under ``init='random'``; ``init='identity'`` (all-zero params) is the
+recommended alternative.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import resolve_criteria, weighted_loss
+from ..ops.edge import edge_filter
+from ..ops.resample import warp_affine
+from ..ops.transforms import rigid_theta
+from .common import RegistrationResult, make_optimizer, optimize_scan
+
+
+def init_rigid_params(ndim: int, key=None, init: str = "random") -> jnp.ndarray:
+    n = 6 if ndim == 3 else 3
+    if init == "identity":
+        return jnp.zeros((n,), jnp.float32)
+    if key is None:
+        key = jax.random.key(0)
+    # torch.rand parity: uniform [0, 1) (utils.py:316-321).
+    return jax.random.uniform(key, (n,), jnp.float32)
+
+
+@lru_cache(maxsize=64)
+def _build_rigid_fn(
+    criteria: tuple,
+    weights: tuple,
+    lr: float,
+    epochs: int,
+    optimizer: str,
+    ndim: int,
+):
+    """One compiled program per (loss stack, lr, epochs, optimizer, ndim)."""
+    loss = weighted_loss(criteria, weights)
+    tx = make_optimizer(optimizer, lr)
+
+    def run(moving, target, params0):
+        def loss_fn(params):
+            theta = rigid_theta(params)[None]  # [1, d, d+1]
+            warped = warp_affine(theta, moving)
+            return loss(target, warped)
+
+        final_params, best_params, best_loss, losses = optimize_scan(
+            loss_fn, params0, tx, epochs
+        )
+        return RegistrationResult(
+            final_theta=rigid_theta(final_params)[None],
+            best_theta=rigid_theta(best_params)[None],
+            final_params=final_params,
+            best_params=best_params,
+            losses=losses,
+            best_loss=best_loss,
+        )
+
+    return jax.jit(run)
+
+
+def rigid_register(
+    moving: jnp.ndarray,
+    target: jnp.ndarray,
+    lr: float = 1e-5,
+    epochs: int = 1000,
+    per: float = 0.1,
+    criterions=None,
+    weights=None,
+    grad_edges: bool = True,
+    optimizer: str = "sgd",
+    init: str = "random",
+    key=None,
+    init_params: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, RegistrationResult]:
+    """Register ``moving [1,1,*S]`` onto ``target`` with a rigid transform.
+
+    Returns ``(warped_best, result)``. ``per`` is accepted for reference API
+    parity but unused — the reference's rigid engine also never uses it
+    (warpings.py:117 takes it and ignores it). ``grad_edges=True`` runs both
+    images through the Sobel band-pass mask first (warpings.py:118-121).
+    """
+    if grad_edges:
+        moving = edge_filter(moving)
+        target = edge_filter(target)
+    criteria, w = resolve_criteria(criterions, weights)
+    ndim = moving.ndim - 2
+    if init_params is None:
+        init_params = init_rigid_params(ndim, key, init)
+    run = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
+                          optimizer, ndim)
+    result = run(moving, target, init_params)
+    warped_best = warp_affine(result.best_theta, moving)
+    return warped_best, result

@@ -1,0 +1,136 @@
+"""Sobel edge pre-filter — the ``grad_edges`` feature.
+
+Reimplements the reference's ``Edge3D`` (utils.py:130-183): nine 3x3x3 Sobel
+kernels (three axis gradients + six diagonal gradients), gradient magnitude,
+min-max normalization, double-threshold band-pass to a binary {0,1} mask, and a
+stop-gradient (the reference ``.detach()``s, utils.py:183).
+
+TPU-first design notes vs the reference:
+
+- The nine single-channel ``Conv3d`` modules (utils.py:141-148) become one
+  ``lax.conv_general_dilated`` with a ``[9, 1, 3, 3, 3]`` filter bank — a
+  single fused conv instead of nine kernel launches.
+- The reference reflect-pads by ``a=5000`` per side and crops after the conv
+  (utils.py:169-176). Since the conv kernel has radius 1, the observable result
+  for any ``a >= 1`` equals reflect-pad-by-1 + valid conv (and torch *errors*
+  for ``a >= dim size``, so a=5000 is unusable on real volumes anyway). We
+  implement the effective semantics: reflect pad by the kernel radius. The
+  ``a`` parameter is accepted for API parity and ignored beyond ``a >= 1``.
+- A 2D variant is provided (the reference's filter is 3D-only and crashes on
+  2D input — warpings.py:31-34 would fail for 2D registration with
+  grad_edges=True).
+
+Epsilon bookkeeping matches utils.py:174-175 exactly: ``+EPSILON`` is applied
+per channel element before the channel sum (adding ``C * eps``) and per filter
+element before the filter sum (adding ``9 * eps`` under the sqrt).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+EPSILON = 1e-10
+
+
+def sobel_kernels_3d(n1: float = 1, n2: float = 2, n3: float = 2) -> np.ndarray:
+    """The nine 3D Sobel kernels as a ``[9, 3, 3, 3]`` bank.
+
+    Axis kernels: derivative ``[-1, 0, 1]`` (scaled) along one axis times the
+    smoothing stencil ``[[n1,n2,n1],[n2,n2*n3,n2],[n1,n2,n1]]`` over the other
+    two. Diagonal kernels: the two antisymmetric diagonal-gradient stencils
+    with slab weighting, plus their transposes/negations
+    (reference utils.py:112-127).
+    """
+    smooth = np.array([[n1, n2, n1], [n2, n2 * n3, n2], [n1, n2, n1]], np.float64)
+    deriv = np.array([-1.0, 0.0, 1.0])
+    # Axis gradients: Sx varies along the last axis, Sy along the middle,
+    # Sz along the first.
+    sx = np.einsum("ij,k->ijk", smooth, deriv)
+    sy = np.einsum("ik,j->ijk", smooth, deriv)
+    sz = np.einsum("jk,i->ijk", smooth, deriv)
+
+    d0 = np.array([[0, n1, n2], [-n1, 0, n1], [-n2, -n1, 0]], np.float64)
+    d1 = np.array(
+        [[0, n2, n2 * n3], [-n2, 0, n2], [-n2 * n3, -n2, 0]], np.float64
+    )
+    sd11 = np.stack([d0, d1, d0])
+    e0 = np.array([[-n2, -n1, 0], [-n1, 0, n1], [0, n1, n2]], np.float64)
+    e1 = np.array(
+        [[-n2 * n3, -n2, 0], [-n2, 0, n2], [0, n2, n2 * n3]], np.float64
+    )
+    sd12 = np.stack([e0, e1, e0])
+    sd21 = sd11.T
+    sd22 = sd12.T
+    sd31 = np.asarray([-s.T for s in sd11.T])
+    sd32 = np.asarray([s.T for s in sd12.T])
+
+    return np.stack([sx, sy, sz, sd11, sd12, sd21, sd22, sd31, sd32]).astype(
+        np.float32
+    )
+
+
+def sobel_kernels_2d(n1: float = 1, n2: float = 2) -> np.ndarray:
+    """2D bank ``[4, 3, 3]``: Sx, Sy and the two diagonal gradients."""
+    smooth = np.array([n1, n2, n1], np.float64)
+    deriv = np.array([-1.0, 0.0, 1.0])
+    sx = np.einsum("i,j->ij", smooth, deriv)
+    sy = np.einsum("j,i->ij", smooth, deriv)
+    d0 = np.array([[0, n1, n2], [-n1, 0, n1], [-n2, -n1, 0]], np.float64)
+    e0 = np.array([[-n2, -n1, 0], [-n1, 0, n1], [0, n1, n2]], np.float64)
+    return np.stack([sx, sy, d0, e0]).astype(np.float32)
+
+
+def _minmax_norm(x: jnp.ndarray) -> jnp.ndarray:
+    eps = 1e-9  # the local epsilon in the reference's norm() (utils.py:263)
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    return (x - lo) / ((hi - lo) + eps)
+
+
+def edge_filter(
+    img: jnp.ndarray,
+    a: int = 5000,
+    thresh: tuple[float, float] = (0.2, 0.9),
+    n1: float = 1,
+    n2: float = 2,
+    n3: float = 2,
+) -> jnp.ndarray:
+    """Binary Sobel edge mask of ``img [B, C, *S]`` (d = 2 or 3).
+
+    Returns ``[B, 1, *S]`` float mask in {0, 1}, gradient-stopped. ``a`` is
+    accepted for reference API parity (utils.py:150) but the effective
+    semantics (reflect pad by the kernel radius) are used — see module
+    docstring.
+    """
+    del a
+    d = img.ndim - 2
+    B, C = img.shape[0], img.shape[1]
+    spatial = img.shape[2:]
+    if d == 3:
+        bank = jnp.asarray(sobel_kernels_3d(n1, n2, n3))[:, None]  # [9,1,3,3,3]
+    elif d == 2:
+        bank = jnp.asarray(sobel_kernels_2d(n1, n2))[:, None]  # [4,1,3,3]
+    else:
+        raise ValueError(f"edge_filter supports 2D/3D, got {d} spatial dims")
+    nf = bank.shape[0]
+
+    pad = [(0, 0), (0, 0)] + [(1, 1)] * d
+    padded = jnp.pad(img, pad, mode="reflect")
+    # One conv over all B*C planes with the 9 (or 4) filter bank.
+    x = padded.reshape((B * C, 1) + tuple(s + 2 for s in spatial))
+    resp = jax.lax.conv_general_dilated(
+        x,
+        bank,
+        window_strides=(1,) * d,
+        padding="VALID",
+    )  # [B*C, nf, *S]
+    resp = resp.reshape((B, C, nf) + spatial)
+    # Reference epsilon bookkeeping (utils.py:174-175): channel sum gets C*eps,
+    # filter sum gets nf*eps under the sqrt; magnitude scaled by 1/C.
+    chan_sum = jnp.sum(resp + EPSILON, axis=1)  # [B, nf, *S]
+    grad_mag = (1.0 / C) * jnp.sqrt(jnp.sum(chan_sum**2 + EPSILON, axis=1))
+    edges = _minmax_norm(grad_mag.reshape((B, 1) + spatial))
+
+    mask = ((edges > thresh[0]) & (edges < thresh[1])).astype(jnp.float32)
+    return jax.lax.stop_gradient(mask)
