@@ -1,0 +1,94 @@
+"""Benchmark: full rigid→affine→flow cascade on a 240^3 pair, one chip.
+
+Prints ONE JSON line:
+  {"metric": "cascade_240_registrations_per_min", "value": ..., "unit":
+   "registrations/min", "vs_baseline": ...}
+
+Baseline: the BASELINE.json north star — a full cascade on a 1x1x240^3 pair in
+<10 s on one v5e chip, i.e. 6 registrations/min. ``vs_baseline`` > 1 beats it.
+Recipe: README epoch budgets (rigid 500, affine 200, flow 100 —
+reference README.md:59-82) with a 3-level pyramid for the matrix stages and
+the MSE+NCC criterion stack.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_pair(shape=(240, 240, 240), seed=0):
+    import jax.numpy as jnp
+
+    from torchregister_tpu.ops.resample import warp_affine
+    from torchregister_tpu.ops.transforms import rigid_theta
+
+    rng = np.random.default_rng(seed)
+    grids = np.meshgrid(
+        *[np.linspace(-1, 1, s, dtype=np.float32) for s in shape], indexing="ij"
+    )
+    vol = np.zeros(shape, np.float32)
+    for _ in range(8):
+        c = rng.uniform(-0.5, 0.5, 3)
+        w = rng.uniform(0.1, 0.35)
+        vol += np.exp(
+            -sum((g - ci) ** 2 for g, ci in zip(grids, c)) / (2 * w**2)
+        ).astype(np.float32)
+    moving = jnp.asarray(vol[None, None])
+    true = rigid_theta(jnp.asarray([0.06, -0.04, 0.05, 0.2, -0.15, 0.1], jnp.float32))
+    target = warp_affine(true[None], moving)
+    return moving, target
+
+
+def run_cascade(moving, target):
+    from torchregister_tpu.engines.cascade import register_cascade
+
+    res = register_cascade(
+        moving,
+        target,
+        stages=("rigid", "affine", "flow"),
+        levels=3,
+        rigid_epochs=500,
+        rigid_lr=3e-3,
+        affine_epochs=200,
+        affine_lr=1e-3,
+        flow_epochs=100,
+        flow_lr=1e-3,
+        criterions=("mse", "ncc"),
+        optimizer="adam",
+        n=32,
+    )
+    res.warped.block_until_ready()
+    return res
+
+
+def main():
+    moving, target = make_pair()
+
+    # Warmup: compile everything once.
+    run_cascade(moving, target)
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_cascade(moving, target)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    regs_per_min = 60.0 / t
+    baseline = 6.0  # north star: <10 s per cascade = 6/min
+    print(
+        json.dumps(
+            {
+                "metric": "cascade_240_registrations_per_min",
+                "value": round(regs_per_min, 3),
+                "unit": "registrations/min",
+                "vs_baseline": round(regs_per_min / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

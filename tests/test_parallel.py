@@ -1,0 +1,85 @@
+"""Multi-device cohort tests on the forced 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torchregister_tpu.ops.resample import warp_affine
+from torchregister_tpu.ops.transforms import rigid_theta
+from torchregister_tpu.parallel.cohort import register_cohort
+from torchregister_tpu.parallel.mesh import batch_sharding, make_mesh
+
+
+def _blobs(batch, shape, seed=0):
+    rng = np.random.default_rng(seed)
+    grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    vols = []
+    for _ in range(batch):
+        vol = np.zeros(shape, np.float32)
+        for _ in range(4):
+            c = rng.uniform(-0.4, 0.4, len(shape))
+            w = rng.uniform(0.15, 0.3)
+            vol += np.exp(-sum((g - ci) ** 2 for g, ci in zip(grids, c)) / (2 * w**2))
+        vols.append(vol)
+    return jnp.asarray(np.stack(vols)[:, None])
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_cohort_rigid_unsharded_matches_per_pair():
+    movings = _blobs(3, (20, 20))
+    thetas = [
+        rigid_theta(jnp.asarray(p, jnp.float32))[None]
+        for p in ([0.05, 0.1, 0.0], [-0.04, 0.0, 0.08], [0.02, -0.06, 0.03])
+    ]
+    targets = jnp.concatenate(
+        [warp_affine(t, movings[i : i + 1]) for i, t in enumerate(thetas)]
+    )
+    res = register_cohort(
+        movings, targets, mode="rigid", lr=5e-3, epochs=120,
+        criterions=["mse"], optimizer="adam", init="identity",
+    )
+    assert res.best_theta.shape == (3, 1, 2, 3)
+    for i, t in enumerate(thetas):
+        np.testing.assert_allclose(
+            np.asarray(res.best_theta[i]), np.asarray(t), atol=0.06
+        )
+
+
+def test_cohort_rigid_sharded_over_mesh():
+    mesh = make_mesh((8,), ("data",))
+    movings = _blobs(8, (16, 16), seed=1)
+    targets = _blobs(8, (16, 16), seed=2)
+    res = register_cohort(
+        movings, targets, mode="rigid", mesh=mesh, lr=1e-3, epochs=10,
+        criterions=["mse"], optimizer="adam", init="identity",
+    )
+    assert res.best_theta.shape == (8, 1, 2, 3)
+    assert np.isfinite(np.asarray(res.losses)).all()
+    # the computation actually spanned the mesh
+    assert len(res.best_theta.sharding.device_set) >= 1
+
+
+def test_cohort_sharded_matches_unsharded():
+    mesh = make_mesh((8,), ("data",))
+    movings = _blobs(8, (12, 12), seed=3)
+    targets = _blobs(8, (12, 12), seed=4)
+    kw = dict(mode="affine", lr=1e-3, epochs=15, criterions=["mse"],
+              optimizer="adam")
+    r1 = register_cohort(movings, targets, **kw)
+    r2 = register_cohort(movings, targets, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        np.asarray(r1.best_theta), np.asarray(r2.best_theta), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cohort_flow_runs():
+    movings = _blobs(2, (20, 20), seed=5)
+    targets = _blobs(2, (20, 20), seed=6)
+    res = register_cohort(
+        movings, targets, mode="flow", lr=1e-3, epochs=3,
+        criterions=["mse"], n=32, depth=1,
+    )
+    assert res.flow.shape == (2, 1, 2, 20, 20)
+    assert np.isfinite(np.asarray(res.flow)).all()

@@ -1,0 +1,121 @@
+"""Public ``Register`` API parity tests (reference torchregister.py:11-129)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import torchregister_tpu as tr
+from torchregister_tpu.ops.resample import warp_affine
+from torchregister_tpu.ops.transforms import rigid_theta
+
+
+def _blob(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    vol = np.zeros(shape, np.float32)
+    for _ in range(5):
+        c = rng.uniform(-0.4, 0.4, len(shape))
+        w = rng.uniform(0.15, 0.3)
+        vol += np.exp(-sum((g - ci) ** 2 for g, ci in zip(grids, c)) / (2 * w**2))
+    return jnp.asarray(vol[None, None])
+
+
+def test_register_defaults_match_reference_api():
+    reg = tr.Register()
+    assert reg.mode == "rigid"
+    assert reg.criterion is None and reg.weight is None
+    assert reg.grad_edges is False  # torchregister.py:12 API-level default
+    assert reg.debug is False
+    assert reg.theta is None
+
+
+def test_register_rejects_bad_mode():
+    with pytest.raises(ValueError):
+        tr.Register(mode="elastic")
+
+
+def test_register_call_before_optim_raises():
+    with pytest.raises(RuntimeError):
+        tr.Register()(jnp.zeros((1, 1, 4, 4)))
+
+
+def test_rigid_mode_end_to_end():
+    moving = _blob((32, 32))
+    true = rigid_theta(jnp.asarray([0.1, 0.05, -0.03], jnp.float32))[None]
+    target = warp_affine(true, moving)
+
+    reg = tr.Register(mode="rigid", criterion=["mse"], optimizer="adam",
+                      init="identity")
+    reg.optim(moving, target, lr=5e-3, max_epochs=150)
+    assert reg.theta.shape == (1, 2, 3)
+    np.testing.assert_allclose(np.asarray(reg.theta), np.asarray(true), atol=0.05)
+
+    warped = reg(moving)
+    assert warped.shape == moving.shape
+    rmse = float(jnp.sqrt(jnp.mean((warped - target) ** 2)))
+    base = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
+    assert rmse < 0.5 * base
+
+
+def test_affine_mode_stores_best_theta():
+    moving = _blob((24, 24), seed=1)
+    target = _blob((24, 24), seed=2)
+    reg = tr.Register(mode="affine", criterion=["mse"])
+    reg.optim(moving, target, lr=1e-4, max_epochs=5)
+    assert reg.theta.shape == (1, 2, 3)
+    assert reg.losses is not None and len(np.asarray(reg.losses)) == 5
+
+
+def test_multichannel_warp_applies_same_transform_per_channel():
+    moving = _blob((20, 20), seed=3)
+    target = _blob((20, 20), seed=4)
+    reg = tr.Register(mode="affine", criterion=["mse"])
+    reg.optim(moving, target, lr=1e-4, max_epochs=2)
+    multi = jnp.concatenate([moving, 3.0 * moving], axis=1)
+    out = reg(multi)
+    assert out.shape == (1, 2, 20, 20)
+    np.testing.assert_allclose(
+        np.asarray(out[:, 1]), 3 * np.asarray(out[:, 0]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_flow_mode_end_to_end():
+    moving = _blob((24, 24), seed=5)
+    target = _blob((24, 24), seed=6)
+    reg = tr.Register(mode="flow", criterion=["mse"], optimizer="adam")
+    reg.optim(moving, target, lr=2e-3, max_epochs=10, n=32)
+    assert reg.theta.shape == (1, 2, 24, 24)  # dense flow stored as theta
+    warped = reg(moving)
+    assert warped.shape == moving.shape
+
+
+def test_norm():
+    x = jnp.asarray([[0.0, 5.0], [10.0, 2.5]])
+    out = np.asarray(tr.norm(x))
+    assert out.min() == 0.0
+    np.testing.assert_allclose(out.max(), 1.0, rtol=1e-6)
+    # failure path returns None with a warning (reference utils.py:262-267)
+    assert tr.norm(object()) is None
+
+
+def test_save_load_transform(tmp_path):
+    from torchregister_tpu.utils.io import load_transform, save_transform
+
+    moving = _blob((16, 16), seed=7)
+    reg = tr.Register(mode="affine", criterion=["mse"])
+    reg.optim(moving, moving, lr=1e-6, max_epochs=2)
+    p = str(tmp_path / "t.npz")
+    save_transform(p, reg)
+
+    reg2 = tr.Register(mode="affine")
+    load_transform(p, reg2)
+    np.testing.assert_allclose(np.asarray(reg2.theta), np.asarray(reg.theta))
+    out = reg2(moving)
+    assert out.shape == moving.shape
+
+
+def test_debug_flag_prints_summary(capsys):
+    moving = _blob((16, 16), seed=8)
+    reg = tr.Register(mode="affine", criterion=["mse"], debug=True)
+    reg.optim(moving, moving, lr=1e-6, max_epochs=2)
+    captured = capsys.readouterr()
+    assert "loss" in captured.out

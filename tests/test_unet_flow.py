@@ -1,0 +1,127 @@
+"""Attention U-Net + flow engine tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torchregister_tpu.engines.flow import flow_register
+from torchregister_tpu.models.attention_unet import (
+    AttentionUNet,
+    instance_norm,
+    level_channels,
+    max_depth_for,
+)
+from torchregister_tpu.ops.resample import warp_flow
+
+
+def test_level_channels_reference_widths():
+    assert level_channels(4, 1) == [64, 128, 256, 512, 1024]
+    assert level_channels(4, 32) == [2, 4, 8, 16, 32]
+    assert level_channels(4, 128) == [1, 1, 2, 4, 8]  # floored at 1
+
+
+def test_max_depth_for():
+    assert max_depth_for((240, 240, 240)) == 4  # reference-legal size
+    assert max_depth_for((128, 128, 128)) < 4  # reference would crash here
+    assert max_depth_for((256, 256)) == 4  # the 2D ringo config
+    assert max_depth_for((16, 16)) >= 1
+
+
+def test_instance_norm_matches_torch():
+    import torch
+
+    x = np.random.default_rng(0).normal(size=(2, 9, 9, 3)).astype(np.float32)
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    t = torch.nn.functional.instance_norm(
+        torch.from_numpy(x).permute(0, 3, 1, 2)
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, t, rtol=1e-4, atol=1e-5)
+
+
+def test_unet_2d_shapes():
+    model = AttentionUNet(ndim=2, n=32, depth=2)
+    x = jnp.zeros((1, 48, 40, 1))
+    params = model.init(jax.random.key(0), x)["params"]
+    flow = model.apply({"params": params}, x)
+    assert flow.shape == (1, 48, 40, 2)
+
+
+def test_unet_3d_shapes_and_warp():
+    model = AttentionUNet(ndim=3, n=64, depth=1)
+    x = jnp.ones((1, 14, 16, 18, 1))
+    params = model.init(jax.random.key(1), x)["params"]
+    flow_cl = model.apply({"params": params}, x)
+    assert flow_cl.shape == (1, 14, 16, 18, 3)
+    flow = jnp.moveaxis(flow_cl, -1, 1)
+    warped = warp_flow(jnp.moveaxis(x, -1, 1), flow)
+    assert warped.shape == (1, 1, 14, 16, 18)
+    assert np.isfinite(np.asarray(warped)).all()
+
+
+def test_unet_gradients_flow():
+    model = AttentionUNet(ndim=2, n=32, depth=2)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 32, 32, 1)), jnp.float32)
+    params = model.init(jax.random.key(2), x)["params"]
+
+    def loss(p):
+        return jnp.mean(model.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def _pair_2d(shape=(40, 40)):
+    rng = np.random.default_rng(3)
+    grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    vol = np.zeros(shape, np.float32)
+    for _ in range(5):
+        c = rng.uniform(-0.5, 0.5, 2)
+        w = rng.uniform(0.15, 0.3)
+        vol += np.exp(-((grids[0] - c[0]) ** 2 + (grids[1] - c[1]) ** 2) / (2 * w**2))
+    moving = jnp.asarray(vol[None, None])
+    # small smooth deformation of moving as target
+    flow = np.stack(
+        [1.5 * np.sin(np.pi * grids[1]), -1.5 * np.cos(np.pi * grids[0])]
+    ).astype(np.float32)[None]
+    target = warp_flow(moving, jnp.asarray(flow))
+    return moving, target
+
+
+def test_flow_register_reduces_loss():
+    moving, target = _pair_2d()
+    warped, res = flow_register(
+        moving, target, lr=2e-3, max_epochs=60, criterions=["mse"],
+        optimizer="adam", n=32, depth=2,
+    )
+    losses = np.asarray(res.losses)
+    valid = losses[np.isfinite(losses)]
+    assert int(res.steps) == 60
+    assert valid[-1] < valid[0] * 0.7, (valid[0], valid[-1])
+    assert res.flow.shape == (1, 2) + moving.shape[2:]
+
+
+def test_flow_register_early_stop():
+    moving, target = _pair_2d()
+    _, res = flow_register(
+        moving, target, lr=1e-3, max_epochs=50, criterions=["mse"],
+        stop_crit=1e9,  # absurdly loose -> stops after first step
+        n=32, depth=2,
+    )
+    assert int(res.steps) == 1
+    assert bool(res.converged)
+    losses = np.asarray(res.losses)
+    assert np.isfinite(losses[0]) and np.isnan(losses[1:]).all()
+
+
+def test_flow_deform_reapplies_to_other_channels():
+    moving, target = _pair_2d()
+    _, res = flow_register(
+        moving, target, lr=1e-3, max_epochs=5, criterions=["mse"], n=32, depth=2
+    )
+    multi = jnp.concatenate([moving, moving * 2.0], axis=1)  # [1,2,H,W]
+    out = warp_flow(multi, res.flow)
+    assert out.shape == multi.shape
+    np.testing.assert_allclose(
+        np.asarray(out[:, 1]), 2 * np.asarray(out[:, 0]), rtol=1e-4, atol=1e-5
+    )

@@ -1,0 +1,198 @@
+"""Public API: the ``Register`` class and ``norm`` — reference-parity surface.
+
+Mirrors the reference's user API (torchregister.py:11-129): construct with a
+mode, call ``.optim(moving, target, ...)``, then call the object to warp images
+with the recovered transform. README driver programs written against the
+reference port directly.
+
+Reference-parity notes:
+- ``optim`` stores the **best** (lowest-loss) theta for rigid/affine
+  (torchregister.py:94,106; the engines' ``[final, best]`` pair semantics), and
+  the dense flow for flow mode (torchregister.py:81-82).
+- ``__call__`` warps a ``[1, C, *S]`` image per-channel with the stored
+  transform (torchregister.py:108-129). All channels share one transform, so we
+  warp them in a single resample — observably identical to the reference's
+  per-channel concat.
+- ``grad_edges`` defaults to False at this layer (torchregister.py:12) even
+  though the engines default it True — the reference disagrees with itself;
+  the API-level default wins here (SURVEY.md §5 config notes). Flow mode never
+  applies grad_edges (the reference calls ``optimize`` positionally and leaves
+  it False, torchregister.py:80).
+- Divergence: user-supplied ``criterion`` lists are honored (the reference
+  discards them — warpings.py:36-40); loss histories are exposed as
+  ``self.losses``.
+
+Extensions beyond the reference: ``optimizer='adam'``, ``init='identity'``,
+``seed``, and transform (de)serialization via ``save_transform`` /
+``load_transform``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engines.affine import affine_register
+from .engines.flow import flow_register
+from .engines.rigid import rigid_register
+from .ops.resample import warp_affine, warp_flow
+
+
+def norm(x):
+    """Min-max normalize to [0, 1] (reference utils.py:262-267, eps=1e-9;
+    returns None with a warning on failure)."""
+    try:
+        x = jnp.asarray(x)
+        lo = jnp.min(x)
+        hi = jnp.max(x)
+        return (x - lo) / ((hi - lo) + 1e-9)
+    except Exception:
+        print("WARNING: Input could not be normalized!")
+        return None
+
+
+def _resolve_device(device):
+    if device is None or isinstance(device, jax.Device):
+        return device
+    if isinstance(device, str):
+        key = device.lower()
+        if key in ("cuda", "gpu"):  # convenience mapping for ported scripts
+            key = "tpu"
+        try:
+            return jax.devices(key)[0]
+        except RuntimeError:
+            return jax.devices()[0]
+    raise TypeError(f"device must be None, str, or jax.Device, got {type(device)}")
+
+
+class Register:
+    """Gradient-descent image registration (rigid | affine | flow).
+
+    Drop-in equivalent of the reference ``Register`` (torchregister.py:11-44)
+    on TPU: ``device`` selects a JAX device instead of a torch one; everything
+    else matches the reference signature, plus the documented extensions.
+    """
+
+    def __init__(
+        self,
+        mode: str = "rigid",
+        device=None,
+        criterion=None,
+        weight=None,
+        grad_edges: bool = False,
+        debug: bool = False,
+        optimizer: str = "sgd",
+        init: str = "random",
+        seed: int = 0,
+    ):
+        if mode not in ("rigid", "affine", "flow"):
+            raise ValueError(f"mode must be rigid|affine|flow, got {mode!r}")
+        self.mode = mode
+        self.device = _resolve_device(device)
+        self.criterion = criterion
+        self.weight = weight
+        self.grad_edges = grad_edges
+        self.debug = debug
+        self.optimizer = optimizer
+        self.init = init
+        self.seed = seed
+        self.theta = None  # [1,d,d+1] matrix (rigid/affine) or [1,d,*S] flow
+        self.losses = None
+        self.result = None
+
+    # ------------------------------------------------------------------ optim
+    def optim(
+        self,
+        moving,
+        target,
+        lr: float = 1e-5,
+        max_epochs: int = 1000,
+        n: float = 32,
+        per: float = 0.1,
+        stop_crit: float = 1e-4,
+    ) -> "Register":
+        """Estimate the transform warping ``moving [1,1,*S]`` onto ``target``.
+
+        Signature parity with torchregister.py:46 (``n`` = U-Net width divisor,
+        default 32; ``per`` accepted for parity, unused — see engines). Returns
+        ``self`` for chaining.
+        """
+        moving = self._put(moving)
+        target = self._put(target)
+        with jax.default_device(self.device) if self.device else _nullcontext():
+            if self.mode == "flow":
+                _, res = flow_register(
+                    moving, target, lr=lr, max_epochs=max_epochs, n=n,
+                    criterions=self.criterion, weights=self.weight,
+                    stop_crit=stop_crit, optimizer=self.optimizer,
+                    key=jax.random.key(self.seed),
+                )
+                self.theta = res.flow
+            elif self.mode == "affine":
+                _, res = affine_register(
+                    moving, target, lr=lr, epochs=max_epochs, per=per,
+                    criterions=self.criterion, weights=self.weight,
+                    grad_edges=self.grad_edges, optimizer=self.optimizer,
+                )
+                self.theta = res.best_theta
+            else:
+                _, res = rigid_register(
+                    moving, target, lr=lr, epochs=max_epochs, per=per,
+                    criterions=self.criterion, weights=self.weight,
+                    grad_edges=self.grad_edges, optimizer=self.optimizer,
+                    init=self.init, key=jax.random.key(self.seed),
+                )
+                self.theta = res.best_theta
+        self.result = res
+        self.losses = res.losses
+        if self.debug:
+            self._report()
+        return self
+
+    # ----------------------------------------------------------------- warp
+    def __call__(self, moving):
+        """Warp ``moving [1, C, *S]`` with the stored transform."""
+        if self.theta is None:
+            raise RuntimeError("call .optim(moving, target) before warping")
+        moving = self._put(moving)
+        if self.mode == "flow":
+            return warp_flow(moving, self.theta)
+        return warp_affine(self.theta, moving)
+
+    # ------------------------------------------------------------- internals
+    def _put(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if self.device is not None:
+            x = jax.device_put(x, self.device)
+        return x
+
+    def _report(self):
+        losses = np.asarray(self.losses)
+        losses = losses[np.isfinite(losses)]
+        if losses.size:
+            print(
+                f"[torchregister-tpu] mode={self.mode} epochs={losses.size} "
+                f"loss first={losses[0]:.6g} last={losses[-1]:.6g} "
+                f"best={losses.min():.6g}"
+            )
+        try:  # optional loss-curve plot, parity with the reference debug flag
+            from matplotlib import pyplot as plt
+
+            plt.plot(losses, label="Error")
+            plt.title("Optimization Criterion")
+            plt.xlabel("Epoch")
+            plt.ylabel("Error")
+            plt.legend()
+            plt.show()
+        except Exception:
+            pass
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,146 @@
+"""Dense flow-field registration engine (VoxelMorph-style, per-pair optimized).
+
+TPU-native redesign of reference ``flow_register`` (warpings.py:178-242): an
+Attention U-Net predicts a dense displacement field for one image pair and is
+optimized against the similarity stack by SGD. The whole optimization —
+forward, warp, loss, backward, update, early-stop test — is ONE jitted
+``lax.while_loop``; the reference's per-epoch ``error.item()`` host syncs
+(warpings.py:220) disappear.
+
+Reference semantics preserved:
+- defaults ``lr=1e-3, max_epochs=2000, stop_crit=1e-4`` and the
+  MSE+NCC+NMI/0.33 criterion stack (warpings.py:179);
+- early stop when the *recorded* (pre-update) loss <= stop_crit, checked after
+  the update (warpings.py:231-233);
+- optional ``grad_edges`` pre-filter (warpings.py:199-202);
+- ``deform`` re-applies the stored flow to arbitrary images
+  (warpings.py:238-242) -> :func:`ops.resample.warp_flow`.
+
+Documented divergences:
+- the returned flow is computed from the *post-update* final parameters (the
+  reference keeps the forward of the last step's pre-update parameters);
+- loss history is returned (NaN-padded to ``max_epochs``);
+- U-Net depth is clamped via ``max_depth_for`` for inputs too small for the
+  reference topology (which crashes below ~140^3 in 3D).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import resolve_criteria, weighted_loss
+from ..models.attention_unet import AttentionUNet, max_depth_for
+from ..ops.edge import edge_filter
+from ..ops.resample import warp_flow
+from .common import make_optimizer
+
+
+class FlowResult(NamedTuple):
+    flow: jnp.ndarray  # [1, d, *S] voxel-unit displacement field
+    losses: jnp.ndarray  # [max_epochs], NaN beyond the executed steps
+    steps: jnp.ndarray  # number of optimizer steps executed
+    converged: jnp.ndarray  # bool: stopped by stop_crit before max_epochs
+    params: dict  # final U-Net parameters
+
+
+@lru_cache(maxsize=32)
+def _build_flow_fn(
+    criteria: tuple,
+    weights: tuple,
+    lr: float,
+    max_epochs: int,
+    stop_crit: float,
+    optimizer: str,
+    ndim: int,
+    in_c: int,
+    n: float,
+    depth: int,
+):
+    model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth)
+    loss = weighted_loss(criteria, weights)
+    tx = make_optimizer(optimizer, lr)
+
+    def predict_flow(params, moving_cl):
+        flow_cl = model.apply({"params": params}, moving_cl)
+        return jnp.moveaxis(flow_cl, -1, 1)  # [N, d, *S]
+
+    def run(moving, target, params0):
+        moving_cl = jnp.moveaxis(moving, 1, -1)
+
+        def loss_fn(params):
+            flow = predict_flow(params, moving_cl)
+            warped = warp_flow(moving, flow)
+            return loss(target, warped)
+
+        grad_fn = jax.value_and_grad(loss_fn)
+        opt_state0 = tx.init(params0)
+        losses0 = jnp.full((max_epochs,), jnp.nan, jnp.float32)
+
+        def cond(carry):
+            _, _, i, _, last = carry
+            return (i < max_epochs) & (last > stop_crit)
+
+        def _body(carry):
+            params, opt_state, i, losses, _ = carry
+            loss_val, grads = grad_fn(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            losses = jax.lax.dynamic_update_slice(losses, loss_val[None], (i,))
+            return params, opt_state, i + 1, losses, loss_val
+
+        params, _, steps, losses, last = jax.lax.while_loop(
+            cond, _body, (params0, opt_state0, jnp.int32(0), losses0, jnp.float32(jnp.inf))
+        )
+        flow = predict_flow(params, moving_cl)
+        warped = warp_flow(moving, flow)
+        converged = last <= stop_crit
+        return flow, warped, losses, steps, converged, params
+
+    return jax.jit(run), model
+
+
+def flow_register(
+    moving: jnp.ndarray,
+    target: jnp.ndarray,
+    lr: float = 1e-3,
+    max_epochs: int = 2000,
+    stop_crit: float = 1e-4,
+    n: float = 1,
+    in_c: int = 1,
+    criterions=None,
+    weights=None,
+    grad_edges: bool = False,
+    optimizer: str = "sgd",
+    depth: int | None = None,
+    key=None,
+) -> tuple[jnp.ndarray, FlowResult]:
+    """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
+
+    Returns ``(warped, FlowResult)``. Re-apply the recovered field to other
+    images with ``warp_flow(x, result.flow)``.
+    """
+    if grad_edges:
+        moving = edge_filter(moving)
+        target = edge_filter(target)
+    criteria, w = resolve_criteria(criterions, weights)
+    ndim = moving.ndim - 2
+    spatial = moving.shape[2:]
+    if depth is None:
+        depth = max_depth_for(spatial)
+        if depth == 0:
+            raise ValueError(f"volume {spatial} too small for the U-Net")
+    run, model = _build_flow_fn(
+        tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
+        optimizer, ndim, in_c, float(n), int(depth),
+    )
+    if key is None:
+        key = jax.random.key(0)
+    moving_cl = jnp.moveaxis(moving, 1, -1)
+    params0 = model.init(key, moving_cl)["params"]
+    flow, warped, losses, steps, converged, params = run(moving, target, params0)
+    return warped, FlowResult(flow=flow, losses=losses, steps=steps,
+                              converged=converged, params=params)

@@ -1,0 +1,107 @@
+"""Cohort (batched, multi-chip) registration.
+
+The reference hard-assumes batch size 1 everywhere (torchregister.py:53-55;
+SURVEY.md §2). Here every engine core is a pure function of one pair, so a
+cohort is just ``vmap`` — and a *sharded* cohort is the same ``vmap`` jitted
+with a batch-sharded ``NamedSharding`` over a 1-D device mesh. Pairs are
+independent: XLA emits zero collectives; throughput scales linearly over ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..engines.affine import _build_affine_fn
+from ..engines.flow import FlowResult, _build_flow_fn
+from ..engines.rigid import _build_rigid_fn, init_rigid_params
+from ..losses import resolve_criteria
+from ..models.attention_unet import max_depth_for
+from ..ops.edge import edge_filter
+from ..ops.transforms import identity_theta
+from .mesh import batch_sharding
+
+
+def register_cohort(
+    movings: jnp.ndarray,
+    targets: jnp.ndarray,
+    mode: str = "rigid",
+    mesh: Optional[Mesh] = None,
+    lr: float = 1e-5,
+    epochs: int = 1000,
+    criterions=None,
+    weights=None,
+    grad_edges: bool = False,
+    optimizer: str = "sgd",
+    init: str = "identity",
+    seed: int = 0,
+    n: float = 32,
+    depth: int | None = None,
+    stop_crit: float = 1e-4,
+):
+    """Register ``movings [B, 1, *S]`` onto ``targets [B, 1, *S]`` pairwise.
+
+    Returns the engine's result pytree with a leading batch axis. When ``mesh``
+    is given, inputs/outputs are sharded over its ``data`` axis and the whole
+    cohort runs as one SPMD program.
+    """
+    movings = jnp.asarray(movings, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+    assert movings.shape == targets.shape and movings.shape[1] == 1
+    B = movings.shape[0]
+    ndim = movings.ndim - 2
+
+    if grad_edges and mode in ("rigid", "affine"):
+        movings = edge_filter(movings)
+        targets = edge_filter(targets)
+
+    criteria, w = resolve_criteria(criterions, weights)
+    key = jax.random.key(seed)
+
+    if mode == "rigid":
+        run = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
+                              optimizer, ndim)
+        if init == "identity":
+            params0 = jnp.zeros((B, 6 if ndim == 3 else 3), jnp.float32)
+        else:
+            params0 = jax.vmap(lambda k: init_rigid_params(ndim, k, "random"))(
+                jax.random.split(key, B)
+            )
+        batched = jax.vmap(run)
+    elif mode == "affine":
+        run = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
+                               optimizer, ndim)
+        params0 = jnp.broadcast_to(
+            identity_theta(ndim).reshape(-1), (B, ndim * (ndim + 1))
+        )
+        batched = jax.vmap(run)
+    elif mode == "flow":
+        if depth is None:
+            depth = max_depth_for(movings.shape[2:])
+        run, model = _build_flow_fn(
+            tuple(criteria), tuple(w), float(lr), int(epochs), float(stop_crit),
+            optimizer, ndim, 1, float(n), int(depth),
+        )
+        keys = jax.random.split(key, B)
+        moving_cl = jnp.moveaxis(movings, 1, -1)
+        params0 = jax.vmap(
+            lambda k, m: model.init(k, m[None])["params"]
+        )(keys, moving_cl)
+
+        def one(mov, tgt, p0):
+            return run(mov[None], tgt[None], p0)
+
+        batched = jax.vmap(one)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        movings = jax.device_put(movings, sh)
+        targets = jax.device_put(targets, sh)
+        params0 = jax.device_put(params0, sh)  # broadcast over pytree leaves
+        batched = jax.jit(batched)
+
+    return batched(movings, targets, params0)

@@ -1,0 +1,45 @@
+"""Device-mesh helpers for multi-chip registration.
+
+The reference has zero distributed machinery (SURVEY.md §2 "Parallelism &
+communication inventory") — every capability here is TPU-native new build.
+Scaling model: cohort registration is embarrassingly parallel over image
+pairs, so the primary mesh axis is ``data`` (batch-sharded via
+``NamedSharding``; XLA inserts no collectives). An optional ``space`` axis
+shards one spatial dim for volumes larger than a chip's HBM — XLA GSPMD
+partitions convolutions with automatic halo exchange over ICI.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Sequence[int] | None = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Build a mesh over available devices. Default: 1-D ``data`` mesh over all
+    devices."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    return jax.make_mesh(tuple(shape), tuple(axis_names), devices=devices)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding placing the leading (batch) axis across ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def volume_sharding(
+    mesh: Mesh, spatial_axis: int = 0, mesh_axis: str = "space", ndim: int = 3
+) -> NamedSharding:
+    """Sharding for one ``[N, C, *S]`` volume with spatial dim ``spatial_axis``
+    split across ``mesh_axis`` (spatial decomposition for HBM-oversized
+    volumes)."""
+    spec = [None, None] + [None] * ndim
+    spec[2 + spatial_axis] = mesh_axis
+    return NamedSharding(mesh, P(*spec))

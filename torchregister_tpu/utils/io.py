@@ -1,0 +1,50 @@
+"""Transform (de)serialization — checkpoint/resume capability.
+
+The reference has no persistence at all (SURVEY.md §5): transforms live in
+in-memory attributes. Here transforms are plain pytrees, so persistence is a
+flat npz with a tiny manifest. Covers: rigid/affine thetas, dense flow fields,
+raw engine parameter pytrees (e.g. U-Net weights for resuming a long flow
+optimization), and optimizer state.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save any pytree of arrays to ``path`` (npz + proto treedef manifest)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        treedef.serialize_using_proto(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_pytree(path: str) -> Any:
+    data = np.load(path, allow_pickle=False)
+    treedef = jax.tree_util.PyTreeDef.deserialize_using_proto(
+        jax.tree_util.default_registry, data["__treedef__"].tobytes()
+    )
+    n = len([k for k in data.files if k.startswith("leaf_")])
+    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def save_transform(path: str, register) -> None:
+    """Persist a fitted ``Register``'s transform (theta matrix or flow field)."""
+    if register.theta is None:
+        raise ValueError("Register has no fitted transform to save")
+    save_pytree(path, {"mode": np.asarray(register.mode),
+                       "theta": np.asarray(register.theta)})
+
+
+def load_transform(path: str, register) -> None:
+    """Restore a transform saved with :func:`save_transform` into ``register``."""
+    tree = load_pytree(path)
+    import jax.numpy as jnp
+
+    register.theta = jnp.asarray(tree["theta"])
