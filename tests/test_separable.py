@@ -1,0 +1,150 @@
+"""Separable (gather-free) resampler tests vs the exact multilinear oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from torchregister_tpu.ops.grid import normalized_grid
+from torchregister_tpu.ops.resample import warp_affine, warp_flow
+from torchregister_tpu.ops.separable import (
+    affine_to_index_map,
+    factor_passes,
+    warp_affine_separable,
+    warp_flow_separable,
+)
+from torchregister_tpu.ops.transforms import rigid_theta
+
+
+def _smooth(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    vol = np.zeros(shape, np.float32)
+    for _ in range(6):
+        c = rng.uniform(-0.5, 0.5, len(shape))
+        w = rng.uniform(0.2, 0.4)
+        vol += np.exp(-sum((g - ci) ** 2 for g, ci in zip(grids, c)) / (2 * w**2))
+    return jnp.asarray(vol[None, None])
+
+
+def test_index_map_identity():
+    theta = jnp.asarray([[1.0, 0, 0], [0, 1, 0]])
+    M, t = affine_to_index_map(theta, (10, 12), align_corners=False)
+    np.testing.assert_allclose(np.asarray(M), np.eye(2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 0, atol=1e-5)
+    M, t = affine_to_index_map(theta, (10, 12), align_corners=True)
+    np.testing.assert_allclose(np.asarray(M), np.eye(2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 0, atol=1e-5)
+
+
+def test_index_map_matches_grid_composition():
+    # s_idx from the map must equal denormalize(affine_grid(theta)).
+    theta = jnp.asarray([[0.9, 0.1, 0.05], [-0.08, 1.1, -0.1]])
+    spatial = (9, 11)
+    M, t = affine_to_index_map(theta, spatial, align_corners=False)
+    from torchregister_tpu.ops.grid import affine_grid, normalized_to_index
+
+    grid = affine_grid(theta[None], spatial, align_corners=False)
+    idx_ref = np.asarray(normalized_to_index(grid, spatial, False))[0]  # [*S, d]
+    o = np.stack(np.meshgrid(*[np.arange(s) for s in spatial], indexing="ij"), -1)
+    idx_ours = o @ np.asarray(M).T + np.asarray(t)
+    np.testing.assert_allclose(idx_ours, idx_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_factor_passes_reconstructs_matrix():
+    rng = np.random.default_rng(0)
+    M = np.eye(3) + rng.normal(size=(3, 3)) * 0.1
+    t = rng.normal(size=3) * 2
+    passes = factor_passes(jnp.asarray(M, jnp.float32), jnp.asarray(t, jnp.float32))
+    # Rebuild E_x @ E_y @ E_z and compare.
+    mats = []
+    for axis, (coef, off) in passes:  # order: x, y, z passes
+        E = np.eye(4)
+        E[axis, :3] = np.asarray(coef)
+        E[axis, 3] = float(off)
+        mats.append(E)
+    # A = E_x @ E_y @ E_z (application order x first = leftmost matrix)
+    A = mats[0] @ mats[1] @ mats[2]
+    np.testing.assert_allclose(A[:3, :3], M, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(A[:3, 3], t, rtol=1e-4, atol=1e-4)
+
+
+def test_separable_exact_for_pure_translation_2d():
+    src = _smooth((24, 28))
+    theta = jnp.asarray([[[1.0, 0, 0.15], [0, 1.0, -0.2]]])
+    ours = np.asarray(warp_affine_separable(theta, src, max_shift=8))
+    ref = np.asarray(warp_affine(theta, src))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_separable_exact_for_axis_scale_3d():
+    src = _smooth((16, 18, 20), seed=1)
+    theta = jnp.asarray(
+        [[[0.9, 0, 0, 0.05], [0, 1.1, 0, 0], [0, 0, 0.95, -0.1]]]
+    )
+    ours = np.asarray(warp_affine_separable(theta, src, max_shift=8))
+    ref = np.asarray(warp_affine(theta, src))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_separable_close_to_exact_for_rotation_2d():
+    src = _smooth((48, 48), seed=2)
+    theta = rigid_theta(jnp.asarray([0.15, 0.05, -0.08], jnp.float32))[None]
+    ours = np.asarray(warp_affine_separable(theta, src, max_shift=16))
+    ref = np.asarray(warp_affine(theta, src))
+    # interior agreement (multi-pass approximation, O(h^2) on smooth images)
+    err = np.abs(ours - ref)[0, 0, 8:-8, 8:-8]
+    assert err.max() < 0.02, err.max()
+
+
+def test_separable_close_to_exact_for_rigid_3d():
+    src = _smooth((24, 24, 24), seed=3)
+    theta = rigid_theta(
+        jnp.asarray([0.1, -0.07, 0.05, 0.2, -0.1, 0.15], jnp.float32)
+    )[None]
+    ours = np.asarray(warp_affine_separable(theta, src, max_shift=10))
+    ref = np.asarray(warp_affine(theta, src))
+    err = np.abs(ours - ref)[0, 0, 4:-4, 4:-4, 4:-4]
+    assert err.max() < 0.03, err.max()
+
+
+def test_separable_large_window_fori_path():
+    # force the fori_loop branch (n_terms > unroll limit)
+    src = _smooth((64, 64), seed=4)
+    theta = jnp.asarray([[[1.0, 0, 0.4], [0, 1.0, -0.3]]])
+    ours = np.asarray(warp_affine_separable(theta, src, max_shift=24))
+    ref = np.asarray(warp_affine(theta, src))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_separable_flow_integer_shift():
+    src = _smooth((16, 16), seed=5)
+    flow = jnp.zeros((1, 2, 16, 16)).at[:, 0].set(3.0).at[:, 1].set(-2.0)
+    ours = np.asarray(warp_flow_separable(src, flow, max_disp=4))
+    ref = np.asarray(warp_flow(src, flow))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_separable_flow_smooth_field_close():
+    src = _smooth((32, 32), seed=6)
+    g = np.meshgrid(np.linspace(0, np.pi, 32), np.linspace(0, np.pi, 32), indexing="ij")
+    flow = np.stack([1.2 * np.sin(g[1]), -1.0 * np.cos(g[0])]).astype(np.float32)[None]
+    ours = np.asarray(warp_flow_separable(src, jnp.asarray(flow), max_disp=4))
+    ref = np.asarray(warp_flow(src, jnp.asarray(flow)))
+    err = np.abs(ours - ref)[0, 0, 4:-4, 4:-4]
+    # sequential-pass error ~ |flow| * |d flow/dx| * |image gradient|:
+    # 1.2 * 0.12 * 0.2 ≈ 0.03 for this field — allow 0.04.
+    assert err.max() < 0.04, err.max()
+
+
+def test_separable_is_differentiable():
+    import jax
+
+    src = _smooth((20, 20), seed=7)
+    target = _smooth((20, 20), seed=8)
+
+    def loss(p):
+        theta = rigid_theta(p)[None]
+        w = warp_affine_separable(theta, src, max_shift=6)
+        return jnp.mean((w - target) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray([0.05, 0.1, -0.1], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..losses import resolve_criteria, weighted_loss
 from ..ops.edge import edge_filter
 from ..ops.resample import warp_affine
+from ..ops.separable import warp_affine_separable
 from ..ops.transforms import identity_theta
 from .common import RegistrationResult, make_optimizer, optimize_scan
 
@@ -33,14 +34,21 @@ def _build_affine_fn(
     epochs: int,
     optimizer: str,
     ndim: int,
+    method: str = "separable",
+    max_shift: int | None = None,
 ):
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
 
+    def warp(theta, moving):
+        if method == "separable":
+            return warp_affine_separable(theta, moving, max_shift=max_shift)
+        return warp_affine(theta, moving)
+
     def run(moving, target, params0):
         def loss_fn(params):
             theta = params.reshape(1, ndim, ndim + 1)
-            warped = warp_affine(theta, moving)
+            warped = warp(theta, moving)
             return loss(target, warped)
 
         final_params, best_params, best_loss, losses = optimize_scan(
@@ -69,6 +77,8 @@ def affine_register(
     grad_edges: bool = True,
     optimizer: str = "sgd",
     init_theta: jnp.ndarray | None = None,
+    method: str = "separable",
+    max_shift: int | None = None,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a full affine matrix.
 
@@ -87,7 +97,13 @@ def affine_register(
     else:
         params0 = jnp.asarray(init_theta, jnp.float32).reshape(-1)
     run = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
-                           optimizer, ndim)
+                           optimizer, ndim, method,
+                           None if max_shift is None else int(max_shift))
     result = run(moving, target, params0)
-    warped_best = warp_affine(result.best_theta, moving)
+    if method == "exact":
+        warped_best = warp_affine(result.best_theta, moving)
+    else:
+        warped_best = warp_affine_separable(
+            result.best_theta, moving, max_shift=max_shift
+        )
     return warped_best, result

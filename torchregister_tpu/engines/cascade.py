@@ -2,16 +2,20 @@
 
 The reference's canonical pipeline is a hand-written script: run rigid, warp,
 detach, run affine on the result, warp, detach, run flow (README.md:58-88;
-SURVEY.md §3.5). This module is that pipeline as one call, with two TPU-first
+SURVEY.md §3.5). This module is that pipeline as one call, with TPU-first
 upgrades the reference can't express:
 
-- **multi-resolution pyramid** for the matrix stages: optimize at coarse
-  levels first (thetas live in normalized coords, so they transfer across
-  levels unchanged) and refine at full resolution — fewer full-res epochs for
-  the same accuracy;
-- **single-resample composition**: rigid and affine thetas are folded with
-  ``compose_theta`` so the moving image is resampled once, not re-warped per
-  stage (each extra resample loses high-frequency content).
+- **multi-resolution pyramid**: matrix stages optimize coarse levels first
+  (thetas live in normalized coords, so they transfer across levels
+  unchanged);
+- **residual optimization**: at each level the moving image is warped once
+  with the accumulated theta and only a near-identity *residual* transform is
+  optimized, then composed (``theta <- theta ∘ residual``). This keeps every
+  sweep-resampler displacement window small and statically bounded, so the
+  whole inner loop stays a single fused XLA kernel chain (see
+  ops/separable.py);
+- **bounded resample count**: stages hand off matrices, not images — the
+  moving image is resampled once per level, not once per stage per epoch.
 """
 from __future__ import annotations
 
@@ -21,10 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resample import warp_affine, warp_flow
-from ..ops.transforms import identity_theta
+from ..ops.separable import warp_affine_separable, warp_flow_separable
+from ..ops.transforms import compose_theta, identity_theta
 from ..utils.pyramid import build_pyramid
 from .affine import affine_register
-from .flow import FlowResult, flow_register
+from .flow import flow_register
 from .rigid import rigid_register
 
 
@@ -35,6 +40,14 @@ class CascadeResult(NamedTuple):
     rigid_losses: Optional[jnp.ndarray]
     affine_losses: Optional[jnp.ndarray]
     flow_losses: Optional[jnp.ndarray]
+
+
+def _level_warp(theta, moving_level, exact: bool):
+    if exact:
+        return warp_affine(theta, moving_level)
+    # Full-transform re-warp: window must cover the whole displacement.
+    S = max(moving_level.shape[2:])
+    return warp_affine_separable(theta, moving_level, max_shift=max(8, S // 3))
 
 
 def register_cascade(
@@ -54,12 +67,18 @@ def register_cascade(
     n: float = 32,
     flow_depth: int | None = None,
     seed: int = 0,
+    residual_shift: int = 8,
+    final_warp: str = "separable",
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
     Epoch budgets default to the README recipe (500/200/100,
-    README.md:59-82). With ``levels > 1`` the matrix stages split their epoch
-    budget evenly across pyramid levels (coarse levels are nearly free).
+    README.md:59-82); with ``levels > 1`` the matrix stages split their budget
+    evenly across pyramid levels. ``residual_shift`` is the static sweep bound
+    (voxels) for the per-level residual optimizations — the coarsest level
+    additionally gets a window covering a quarter of its extent.
+    ``final_warp='exact'`` produces a grid_sample-identical output resample at
+    the cost of one slow XLA gather pass.
     """
     moving = jnp.asarray(moving, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -70,40 +89,44 @@ def register_cascade(
 
     theta = identity_theta(ndim)[None]
     rigid_losses = affine_losses = flow_losses = None
-    rigid_params = None
+
+    def level_shift(i, mov_l):
+        if i == 0:  # coarsest level sees the full initial misalignment
+            return max(residual_shift, max(mov_l.shape[2:]) // 4)
+        return residual_shift
 
     if "rigid" in stages:
         per_level = max(1, rigid_epochs // levels)
         losses = []
-        for mov_l, tgt_l in zip(mov_pyr, tgt_pyr):
+        for i, (mov_l, tgt_l) in enumerate(zip(mov_pyr, tgt_pyr)):
+            base = _level_warp(theta, mov_l, exact=False) if i else mov_l
             _, res = rigid_register(
-                mov_l, tgt_l, lr=rigid_lr, epochs=per_level,
+                base, tgt_l, lr=rigid_lr, epochs=per_level,
                 criterions=list(criterions), weights=weights, grad_edges=False,
                 optimizer=optimizer, init="identity",
-                init_params=rigid_params, key=jax.random.key(seed),
+                max_shift=level_shift(i, mov_l), key=jax.random.key(seed),
             )
-            rigid_params = res.best_params
+            theta = compose_theta(theta, res.best_theta)
             losses.append(res.losses)
-        theta = res.best_theta
         rigid_losses = jnp.concatenate(losses)
 
     if "affine" in stages:
         per_level = max(1, affine_epochs // levels)
         losses = []
-        init_theta = theta
-        for mov_l, tgt_l in zip(mov_pyr, tgt_pyr):
+        for i, (mov_l, tgt_l) in enumerate(zip(mov_pyr, tgt_pyr)):
+            base = _level_warp(theta, mov_l, exact=False)
             _, res = affine_register(
-                mov_l, tgt_l, lr=affine_lr, epochs=per_level,
+                base, tgt_l, lr=affine_lr, epochs=per_level,
                 criterions=list(criterions), weights=weights, grad_edges=False,
-                optimizer=optimizer, init_theta=init_theta,
+                optimizer=optimizer,
+                max_shift=level_shift(i if "rigid" not in stages else levels, mov_l),
             )
-            init_theta = res.best_theta
+            theta = compose_theta(theta, res.best_theta)
             losses.append(res.losses)
-        theta = res.best_theta
         affine_losses = jnp.concatenate(losses)
 
-    # One resample through the composed matrix transform.
-    warped = warp_affine(theta, moving)
+    # One full-resolution resample through the composed matrix transform.
+    warped = _level_warp(theta, moving, exact=(final_warp == "exact"))
 
     flow = None
     if "flow" in stages:
@@ -114,7 +137,10 @@ def register_cascade(
         )
         flow = fres.flow
         flow_losses = fres.losses
-        warped = warp_flow(warped, flow)
+        if final_warp == "exact":
+            warped = warp_flow(warped, flow)
+        else:
+            warped = warp_flow_separable(warped, flow)
 
     return CascadeResult(
         warped=warped, theta=theta, flow=flow,

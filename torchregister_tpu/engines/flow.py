@@ -36,6 +36,7 @@ from ..losses import resolve_criteria, weighted_loss
 from ..models.attention_unet import AttentionUNet, max_depth_for
 from ..ops.edge import edge_filter
 from ..ops.resample import warp_flow
+from ..ops.separable import warp_flow_separable
 from .common import make_optimizer
 
 
@@ -59,10 +60,17 @@ def _build_flow_fn(
     in_c: int,
     n: float,
     depth: int,
+    method: str = "separable",
+    max_disp: int = 8,
 ):
     model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth)
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
+
+    def warp(moving, flow):
+        if method == "separable":
+            return warp_flow_separable(moving, flow, max_disp=max_disp)
+        return warp_flow(moving, flow)
 
     def predict_flow(params, moving_cl):
         flow_cl = model.apply({"params": params}, moving_cl)
@@ -73,7 +81,7 @@ def _build_flow_fn(
 
         def loss_fn(params):
             flow = predict_flow(params, moving_cl)
-            warped = warp_flow(moving, flow)
+            warped = warp(moving, flow)
             return loss(target, warped)
 
         grad_fn = jax.value_and_grad(loss_fn)
@@ -96,7 +104,7 @@ def _build_flow_fn(
             cond, _body, (params0, opt_state0, jnp.int32(0), losses0, jnp.float32(jnp.inf))
         )
         flow = predict_flow(params, moving_cl)
-        warped = warp_flow(moving, flow)
+        warped = warp(moving, flow)  # method-consistent final warp
         converged = last <= stop_crit
         return flow, warped, losses, steps, converged, params
 
@@ -117,6 +125,8 @@ def flow_register(
     optimizer: str = "sgd",
     depth: int | None = None,
     key=None,
+    method: str = "separable",
+    max_disp: int = 8,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -135,7 +145,7 @@ def flow_register(
             raise ValueError(f"volume {spatial} too small for the U-Net")
     run, model = _build_flow_fn(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
-        optimizer, ndim, in_c, float(n), int(depth),
+        optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
     )
     if key is None:
         key = jax.random.key(0)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..losses import resolve_criteria, weighted_loss
 from ..ops.edge import edge_filter
 from ..ops.resample import warp_affine
+from ..ops.separable import warp_affine_separable
 from ..ops.transforms import rigid_theta
 from .common import RegistrationResult, make_optimizer, optimize_scan
 
@@ -41,15 +42,27 @@ def _build_rigid_fn(
     epochs: int,
     optimizer: str,
     ndim: int,
+    method: str = "separable",
+    max_shift: int | None = None,
 ):
-    """One compiled program per (loss stack, lr, epochs, optimizer, ndim)."""
+    """One compiled program per (loss stack, lr, epochs, optimizer, ndim).
+
+    ``method='separable'`` (default) uses the gather-free sweep resampler in
+    the hot loop (ops/separable.py — ~100x the throughput of the exact XLA
+    gather path on TPU); ``'exact'`` keeps grid_sample-identical semantics.
+    """
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
+
+    def warp(theta, moving):
+        if method == "separable":
+            return warp_affine_separable(theta, moving, max_shift=max_shift)
+        return warp_affine(theta, moving)
 
     def run(moving, target, params0):
         def loss_fn(params):
             theta = rigid_theta(params)[None]  # [1, d, d+1]
-            warped = warp_affine(theta, moving)
+            warped = warp(theta, moving)
             return loss(target, warped)
 
         final_params, best_params, best_loss, losses = optimize_scan(
@@ -80,6 +93,8 @@ def rigid_register(
     init: str = "random",
     key=None,
     init_params: jnp.ndarray | None = None,
+    method: str = "separable",
+    max_shift: int | None = None,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a rigid transform.
 
@@ -96,7 +111,13 @@ def rigid_register(
     if init_params is None:
         init_params = init_rigid_params(ndim, key, init)
     run = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
-                          optimizer, ndim)
+                          optimizer, ndim, method,
+                          None if max_shift is None else int(max_shift))
     result = run(moving, target, init_params)
-    warped_best = warp_affine(result.best_theta, moving)
+    if method == "exact":
+        warped_best = warp_affine(result.best_theta, moving)
+    else:
+        warped_best = warp_affine_separable(
+            result.best_theta, moving, max_shift=max_shift
+        )
     return warped_best, result
