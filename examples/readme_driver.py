@@ -1,0 +1,85 @@
+"""README-parity driver: the reference's canonical usage script, TPU edition.
+
+Replicates the reference README pipeline (reference README.md:20-94): load a
+brain volume, build a randomly-perturbed copy as the target, then register
+rigid (500 ep) -> affine (200 ep) -> flow (100 ep), chaining each stage's
+output into the next, and report the recovered transforms. Runs on a bundled
+synthetic "brain-like" phantom (no data download; pass --nifti to use a real
+volume via the native volio loader).
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax.numpy as jnp
+
+import torchregister_tpu as tr
+from torchregister_tpu.ops.resample import warp_affine
+from torchregister_tpu.ops.transforms import rigid_theta
+
+
+def phantom(shape=(96, 96, 96), seed=0) -> np.ndarray:
+    """Synthetic brain-like volume: nested smooth ellipsoids + texture."""
+    rng = np.random.default_rng(seed)
+    grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    r2 = sum(g**2 * s for g, s in zip(grids, (1.3, 1.0, 1.1)))
+    vol = np.clip(1.0 - r2, 0, None) ** 0.7  # head
+    for _ in range(10):  # internal structure
+        c = rng.uniform(-0.4, 0.4, 3)
+        w = rng.uniform(0.05, 0.2)
+        vol += 0.5 * np.exp(-sum((g - ci) ** 2 for g, ci in zip(grids, c)) / (2 * w**2))
+    vol += 0.02 * rng.standard_normal(shape)
+    return vol.astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nifti", help="optional .nii/.nii.gz volume to register")
+    ap.add_argument("--size", type=int, default=96)
+    args = ap.parse_args()
+
+    if args.nifti:
+        from torchregister_tpu.utils.volio import read_volume
+
+        vol = read_volume(args.nifti)
+        vol = vol[tuple(slice(0, min(s, 160)) for s in vol.shape[:3])]
+    else:
+        vol = phantom((args.size,) * 3)
+
+    moving = jnp.asarray(vol)[None, None]
+    moving = tr.norm(moving)
+
+    # Perturb with a known rigid transform (the README uses torchio
+    # RandomAffine; ground truth = the inverse is recoverable).
+    true_params = jnp.asarray([0.08, -0.05, 0.06, 0.3, -0.2, 0.15], jnp.float32)
+    target = warp_affine(rigid_theta(true_params)[None], moving)
+    print(f"volume {moving.shape}, perturbation params {np.asarray(true_params)}")
+
+    # --- rigid (README.md:59-66)
+    warping = tr.Register(mode="rigid", optimizer="adam", init="identity")
+    warping.optim(moving, target, lr=5e-3, max_epochs=500)
+    warped = warping(moving)
+    print("rigid theta:\n", np.asarray(warping.theta[0]).round(4))
+    print("true  theta:\n", np.asarray(rigid_theta(true_params)).round(4))
+
+    # --- affine refinement (README.md:70-77)
+    warping2 = tr.Register(mode="affine", optimizer="adam")
+    warping2.optim(warped, target, lr=1e-3, max_epochs=200)
+    warped = warping2(warped)
+
+    # --- dense flow (README.md:81-88)
+    warping3 = tr.Register(mode="flow", optimizer="adam")
+    warping3.optim(warped, target, lr=1e-3, max_epochs=100, n=32)
+    warped = warping3(warped)
+    flow_mag = tr.norm(jnp.abs(warping3.theta))  # README.md:90 idiom
+
+    rmse0 = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
+    rmse = float(jnp.sqrt(jnp.mean((warped - target) ** 2)))
+    print(f"RMSE before {rmse0:.5f} -> after cascade {rmse:.5f} "
+          f"({100 * (1 - rmse / rmse0):.1f}% reduction)")
+    print("flow magnitude stats:", float(flow_mag.mean()), float(flow_mag.max()))
+
+
+if __name__ == "__main__":
+    main()
