@@ -57,7 +57,7 @@ def run_cascade(moving, target):
         flow_lr=1e-3,
         criterions=("mse", "ncc"),
         optimizer="adam",
-        n=32,
+        n=8,
     )
     res.warped.block_until_ready()
     return res

@@ -25,9 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resample import warp_affine, warp_flow
+from ..ops.resize import downsample_avg
 from ..ops.separable import warp_affine_separable, warp_flow_separable
 from ..ops.transforms import compose_theta, identity_theta
-from ..utils.pyramid import build_pyramid
+from ..utils.pyramid import build_pyramid, upsample_flow
 from .affine import affine_register
 from .flow import flow_register
 from .rigid import rigid_register
@@ -64,11 +65,13 @@ def register_cascade(
     criterions=("mse", "ncc"),
     weights=None,
     optimizer: str = "adam",
-    n: float = 32,
+    n: float = 8,  # U-Net width divisor; channels >= 8 tile the TPU lanes —
+    # the reference's n=32 (2-channel base) hits a 16x layout-padding blowup
     flow_depth: int | None = None,
     seed: int = 0,
     residual_shift: int = 8,
     final_warp: str = "separable",
+    flow_max_size: int = 160,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -95,13 +98,21 @@ def register_cascade(
             return max(residual_shift, max(mov_l.shape[2:]) // 4)
         return residual_shift
 
+    def level_budgets(total):
+        """Geometric epoch split favoring coarse levels (a fine-level step
+        costs ~2^d x more than the level below; coarse levels do the
+        alignment, fine levels polish)."""
+        weights = [2.0 ** (levels - 1 - i) for i in range(levels)]
+        s = sum(weights)
+        return [max(1, int(round(total * w / s))) for w in weights]
+
     if "rigid" in stages:
-        per_level = max(1, rigid_epochs // levels)
+        budgets = level_budgets(rigid_epochs)
         losses = []
         for i, (mov_l, tgt_l) in enumerate(zip(mov_pyr, tgt_pyr)):
             base = _level_warp(theta, mov_l, exact=False) if i else mov_l
             _, res = rigid_register(
-                base, tgt_l, lr=rigid_lr, epochs=per_level,
+                base, tgt_l, lr=rigid_lr, epochs=budgets[i],
                 criterions=list(criterions), weights=weights, grad_edges=False,
                 optimizer=optimizer, init="identity",
                 max_shift=level_shift(i, mov_l), key=jax.random.key(seed),
@@ -111,12 +122,12 @@ def register_cascade(
         rigid_losses = jnp.concatenate(losses)
 
     if "affine" in stages:
-        per_level = max(1, affine_epochs // levels)
+        budgets = level_budgets(affine_epochs)
         losses = []
         for i, (mov_l, tgt_l) in enumerate(zip(mov_pyr, tgt_pyr)):
             base = _level_warp(theta, mov_l, exact=False)
             _, res = affine_register(
-                base, tgt_l, lr=affine_lr, epochs=per_level,
+                base, tgt_l, lr=affine_lr, epochs=budgets[i],
                 criterions=list(criterions), weights=weights, grad_edges=False,
                 optimizer=optimizer,
                 max_shift=level_shift(i if "rigid" not in stages else levels, mov_l),
@@ -130,13 +141,25 @@ def register_cascade(
 
     flow = None
     if "flow" in stages:
+        # Flow fields are smooth: for volumes beyond ``flow_max_size`` the
+        # U-Net optimization runs at half resolution and the field is
+        # upsampled (VoxelMorph practice). This also avoids XLA's layout-
+        # padding blowup for 2-channel full-res decoder tensors on TPU.
+        flow_in, flow_tgt = warped, target
+        scale = 1
+        while max(flow_in.shape[2:]) > flow_max_size:
+            flow_in = downsample_avg(flow_in, 2)
+            flow_tgt = downsample_avg(flow_tgt, 2)
+            scale *= 2
         _, fres = flow_register(
-            warped, target, lr=flow_lr, max_epochs=flow_epochs,
+            flow_in, flow_tgt, lr=flow_lr, max_epochs=flow_epochs,
             criterions=list(criterions), weights=weights, n=n,
             depth=flow_depth, optimizer=optimizer, key=jax.random.key(seed),
         )
         flow = fres.flow
         flow_losses = fres.losses
+        if scale > 1:
+            flow = upsample_flow(flow, warped.shape[2:])
         if final_warp == "exact":
             warped = warp_flow(warped, flow)
         else:

@@ -108,7 +108,10 @@ def _build_flow_fn(
         converged = last <= stop_crit
         return flow, warped, losses, steps, converged, params
 
-    return jax.jit(run), model
+    # Jitted param init: eager flax init dispatches hundreds of ops (very
+    # costly over remote-device transports).
+    init_fn = jax.jit(lambda key, x_cl: model.init(key, x_cl)["params"])
+    return jax.jit(run), model, init_fn
 
 
 def flow_register(
@@ -143,14 +146,14 @@ def flow_register(
         depth = max_depth_for(spatial)
         if depth == 0:
             raise ValueError(f"volume {spatial} too small for the U-Net")
-    run, model = _build_flow_fn(
+    run, model, init_fn = _build_flow_fn(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
         optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
     )
     if key is None:
         key = jax.random.key(0)
     moving_cl = jnp.moveaxis(moving, 1, -1)
-    params0 = model.init(key, moving_cl)["params"]
+    params0 = init_fn(key, moving_cl)
     flow, warped, losses, steps, converged, params = run(moving, target, params0)
     return warped, FlowResult(flow=flow, losses=losses, steps=steps,
                               converged=converged, params=params)

@@ -13,7 +13,7 @@ here user criteria are honored.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Sequence
 
 import jax.numpy as jnp
@@ -24,31 +24,44 @@ from .similarity import lncc, mse, ncc, ssd
 Criterion = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 _REGISTRY = {
-    "mse": lambda **kw: mse,
-    "ssd": lambda **kw: partial(ssd, **kw),
-    "ncc": lambda **kw: partial(ncc, **kw),
-    "lncc": lambda **kw: partial(lncc, **kw),
-    "nmi": lambda **kw: partial(nmi_loss, **kw),
+    "mse": mse,
+    "ssd": ssd,
+    "ncc": ncc,
+    "lncc": lncc,
+    "nmi": nmi_loss,
 }
 
 DEFAULT_WEIGHTS = (0.33, 0.33, 0.33)
 
 
+@lru_cache(maxsize=256)
+def _cached_partial(name: str, kw_items: tuple) -> Criterion:
+    return partial(_REGISTRY[name], **dict(kw_items))
+
+
 def get_criterion(spec, **kwargs) -> Criterion:
-    """Resolve a criterion spec: a name string, or a callable (passed through)."""
+    """Resolve a criterion spec: a name string, or a callable (passed through).
+
+    Resolution is **identity-stable**: the same (name, kwargs) always returns
+    the same function object. Engines key their jit caches on the criterion
+    tuple, so a fresh closure per call would force a re-trace of the whole
+    optimization program on every engine invocation.
+    """
     if callable(spec):
         return spec
     if isinstance(spec, str):
         key = spec.lower()
         if key not in _REGISTRY:
             raise KeyError(f"unknown criterion {spec!r}; known: {sorted(_REGISTRY)}")
-        return _REGISTRY[key](**kwargs)
+        if not kwargs:
+            return _REGISTRY[key]
+        return _cached_partial(key, tuple(sorted(kwargs.items())))
     raise TypeError(f"criterion spec must be str or callable, got {type(spec)}")
 
 
 def default_criteria(small_nmi_for: int | None = None) -> tuple[Criterion, ...]:
     """The reference default stack (warpings.py:37): MSE, NCC(100), NMI(1000)."""
-    return (mse, ncc, get_criterion("nmi"))
+    return (mse, ncc, nmi_loss)
 
 
 def weighted_loss(

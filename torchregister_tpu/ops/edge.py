@@ -26,6 +26,8 @@ element before the filter sum (adding ``9 * eps`` under the sqrt).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -88,6 +90,7 @@ def _minmax_norm(x: jnp.ndarray) -> jnp.ndarray:
     return (x - lo) / ((hi - lo) + eps)
 
 
+@partial(jax.jit, static_argnames=("a", "thresh", "n1", "n2", "n3"))
 def edge_filter(
     img: jnp.ndarray,
     a: int = 5000,

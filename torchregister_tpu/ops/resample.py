@@ -16,6 +16,7 @@ True at utils.py:365).
 from __future__ import annotations
 
 import itertools
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -76,6 +77,7 @@ def multilinear_sample(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(_sample_one)(src, coords)
 
 
+@partial(jax.jit, static_argnames=("align_corners",))
 def grid_sample(
     src: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False
 ) -> jnp.ndarray:
@@ -89,6 +91,7 @@ def grid_sample(
     return multilinear_sample(src, coords.astype(jnp.promote_types(grid.dtype, jnp.float32)))
 
 
+@partial(jax.jit, static_argnames=("align_corners",))
 def warp_affine(
     theta: jnp.ndarray, moving: jnp.ndarray, align_corners: bool = False
 ) -> jnp.ndarray:
@@ -106,6 +109,7 @@ def warp_affine(
     return grid_sample(moving, grid, align_corners)
 
 
+@jax.jit
 def warp_flow(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """The reference's ``SpatialTransformer`` (utils.py:333-365), TPU-native.
 

@@ -12,12 +12,14 @@ reference is single-resolution).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("out_spatial",))
 def nearest_resize(x: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     """Nearest resize of ``x [N, C, *S]`` to ``out_spatial`` (torch 'nearest')."""
     spatial = x.shape[2:]
@@ -29,6 +31,7 @@ def nearest_resize(x: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     return x
 
 
+@partial(jax.jit, static_argnames=("factor",))
 def downsample_avg(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Average-pool downsample of ``x [N, C, *S]`` by ``factor`` per spatial dim.
 
@@ -48,6 +51,7 @@ def downsample_avg(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return out / float(factor**d)
 
 
+@partial(jax.jit, static_argnames=("k", "stride"))
 def max_pool(x: jnp.ndarray, k: int = 2, stride: int | None = None) -> jnp.ndarray:
     """Max pool over spatial dims of ``x [N, C, *S]`` (torch MaxPoolNd, floor mode)."""
     stride = k if stride is None else stride

@@ -42,6 +42,7 @@ are piecewise-constant, like ``floor``).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -209,6 +210,7 @@ def _axis_coord_grid(coef: jnp.ndarray, offset, spatial) -> jnp.ndarray:
 # ------------------------------------------------------------------- public
 
 
+@partial(jax.jit, static_argnames=("align_corners", "max_shift"))
 def warp_affine_separable(
     theta: jnp.ndarray,
     moving: jnp.ndarray,
@@ -246,6 +248,7 @@ def warp_affine_separable(
     return out
 
 
+@partial(jax.jit, static_argnames=("max_disp",))
 def warp_flow_separable(
     src: jnp.ndarray,
     flow: jnp.ndarray,

@@ -20,6 +20,7 @@ Conventions (matching the reference's observable semantics):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -95,6 +96,7 @@ def as_matrix(theta: jnp.ndarray) -> jnp.ndarray:
     return theta
 
 
+@jax.jit
 def compose_theta(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Compose two affine transforms in normalized coordinates.
 
@@ -125,6 +127,4 @@ def compose_theta(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
     # Full-precision contraction: theta composition feeds coordinate math, and
     # the environment's default matmul precision may be bf16-reduced.
-    import jax
-
     return jnp.einsum("nij,njk->nik", a, bh, precision=jax.lax.Precision.HIGHEST)

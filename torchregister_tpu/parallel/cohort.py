@@ -80,14 +80,14 @@ def register_cohort(
     elif mode == "flow":
         if depth is None:
             depth = max_depth_for(movings.shape[2:])
-        run, model = _build_flow_fn(
+        run, model, _ = _build_flow_fn(
             tuple(criteria), tuple(w), float(lr), int(epochs), float(stop_crit),
             optimizer, ndim, 1, float(n), int(depth),
         )
         keys = jax.random.split(key, B)
         moving_cl = jnp.moveaxis(movings, 1, -1)
-        params0 = jax.vmap(
-            lambda k, m: model.init(k, m[None])["params"]
+        params0 = jax.jit(
+            jax.vmap(lambda k, m: model.init(k, m[None])["params"])
         )(keys, moving_cl)
 
         def one(mov, tgt, p0):

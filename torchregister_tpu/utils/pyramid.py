@@ -8,6 +8,7 @@ fields upsample with linear interpolation and a voxel-unit rescale.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence
 
 import jax
@@ -26,6 +27,7 @@ def build_pyramid(x: jnp.ndarray, levels: int, factor: int = 2) -> List[jnp.ndar
     return out[::-1]
 
 
+@partial(jax.jit, static_argnames=("out_spatial",))
 def upsample_flow(flow: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     """Upsample a voxel-unit flow ``[N, d, *S]`` to ``out_spatial``, scaling
     displacement magnitudes by the per-axis zoom."""
@@ -39,6 +41,7 @@ def upsample_flow(flow: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     return out * scale
 
 
+@jax.jit
 def compose_flows(first: jnp.ndarray, second: jnp.ndarray) -> jnp.ndarray:
     """Compose two displacement fields: applying the returned flow equals
     applying ``first`` then ``second`` (both ``[N, d, *S]``, voxel units).
