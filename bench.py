@@ -59,8 +59,10 @@ def run_cascade(moving, target):
         optimizer="adam",
         n=8,
     )
-    res.warped.block_until_ready()
-    return res
+    # Force real completion: on remote-device transports block_until_ready can
+    # return before execution finishes; a host readback cannot.
+    checksum = float(res.warped.mean())
+    return res, checksum
 
 
 def main():

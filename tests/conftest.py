@@ -19,5 +19,8 @@ os.environ.setdefault("OMP_NUM_THREADS", "2")
 # shapes; cache them across runs.
 import jax  # noqa: E402
 
+# A site hook in this image force-updates jax_platforms to "axon,cpu" at jax
+# import, overriding the env var — force it back to CPU for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -60,6 +60,13 @@ def register_cohort(
     criteria, w = resolve_criteria(criterions, weights)
     key = jax.random.key(seed)
 
+    def _per_pair(run):
+        # Engines take [1, 1, *S]; vmap hands us [1, *S] per element.
+        def one(mov, tgt, p0):
+            return run(mov[None], tgt[None], p0)
+
+        return jax.vmap(one)
+
     if mode == "rigid":
         run = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
                               optimizer, ndim)
@@ -69,14 +76,14 @@ def register_cohort(
             params0 = jax.vmap(lambda k: init_rigid_params(ndim, k, "random"))(
                 jax.random.split(key, B)
             )
-        batched = jax.vmap(run)
+        batched = _per_pair(run)
     elif mode == "affine":
         run = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
                                optimizer, ndim)
         params0 = jnp.broadcast_to(
             identity_theta(ndim).reshape(-1), (B, ndim * (ndim + 1))
         )
-        batched = jax.vmap(run)
+        batched = _per_pair(run)
     elif mode == "flow":
         if depth is None:
             depth = max_depth_for(movings.shape[2:])
@@ -102,6 +109,11 @@ def register_cohort(
         movings = jax.device_put(movings, sh)
         targets = jax.device_put(targets, sh)
         params0 = jax.device_put(params0, sh)  # broadcast over pytree leaves
-        batched = jax.jit(batched)
-
-    return batched(movings, targets, params0)
+        out = jax.jit(batched)(movings, targets, params0)
+    else:
+        out = batched(movings, targets, params0)
+    if mode == "flow":
+        flow, _warped, losses, steps, converged, params = out
+        return FlowResult(flow=flow, losses=losses, steps=steps,
+                          converged=converged, params=params)
+    return out

@@ -22,11 +22,20 @@ def make_mesh(
     devices=None,
 ) -> Mesh:
     """Build a mesh over available devices. Default: 1-D ``data`` mesh over all
-    devices."""
+    devices.
+
+    Axes are ``Auto`` (classic GSPMD propagation): cohort programs contain
+    ``scan``/``while`` optimizer loops whose carries have no meaningful
+    explicit shardings — XLA's propagation handles them; jax 0.9's default
+    Explicit axis types would demand manual annotations throughout.
+    """
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),)
-    return jax.make_mesh(tuple(shape), tuple(axis_names), devices=devices)
+    axis_types = (jax.sharding.AxisType.Auto,) * len(axis_names)
+    return jax.make_mesh(
+        tuple(shape), tuple(axis_names), devices=devices, axis_types=axis_types
+    )
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
