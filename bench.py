@@ -41,24 +41,28 @@ def make_pair(shape=(240, 240, 240), seed=0):
     return moving, target
 
 
-def run_cascade(moving, target):
-    from torchregister_tpu.engines.cascade import register_cascade
+_CASCADE = None
 
-    res = register_cascade(
-        moving,
-        target,
-        stages=("rigid", "affine", "flow"),
-        levels=3,
-        rigid_epochs=500,
-        rigid_lr=3e-3,
-        affine_epochs=200,
-        affine_lr=1e-3,
-        flow_epochs=100,
-        flow_lr=1e-3,
-        criterions=("mse", "ncc"),
-        optimizer="adam",
-        n=8,
-    )
+
+def run_cascade(moving, target):
+    from torchregister_tpu.engines.cascade import make_cascade_fn
+
+    global _CASCADE
+    if _CASCADE is None:
+        _CASCADE = make_cascade_fn(
+            stages=("rigid", "affine", "flow"),
+            levels=3,
+            rigid_epochs=500,
+            rigid_lr=3e-3,
+            affine_epochs=200,
+            affine_lr=1e-3,
+            flow_epochs=100,
+            flow_lr=1e-3,
+            criterions=("mse", "ncc"),
+            optimizer="adam",
+            n=8,
+        )
+    res = _CASCADE(moving, target)
     # Force real completion: on remote-device transports block_until_ready can
     # return before execution finishes; a host readback cannot.
     checksum = float(res.warped.mean())

@@ -65,6 +65,25 @@ def test_cascade_matrix_stages_recover_rigid_2d():
     assert rmse < 0.35 * base
 
 
+def test_make_cascade_fn_single_program_matches_eager():
+    from torchregister_tpu.engines.cascade import make_cascade_fn
+
+    moving = _blob((32, 32), seed=3)
+    target = _blob((32, 32), seed=4)
+    cfg = dict(stages=("rigid", "affine"), levels=2, rigid_epochs=30,
+               rigid_lr=3e-3, affine_epochs=20, affine_lr=1e-3,
+               criterions=("mse",), optimizer="adam")
+    fn = make_cascade_fn(**cfg)
+    res_jit = fn(moving, target)
+    res_eager = register_cascade(moving, target, **cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_jit.theta), np.asarray(res_eager.theta), rtol=1e-4,
+        atol=1e-5,
+    )
+    # cache hit: same config returns the same compiled callable
+    assert make_cascade_fn(**cfg) is fn
+
+
 def test_cascade_full_pipeline_runs_2d():
     moving = _blob((48, 48), seed=1)
     target = _blob((48, 48), seed=2)

@@ -34,6 +34,32 @@ from .flow import flow_register
 from .rigid import rigid_register
 
 
+def make_cascade_fn(**config):
+    """Build a fully-jitted cascade: ``fn(moving, target) -> CascadeResult``.
+
+    The whole rigid→affine→flow pipeline — every pyramid level, engine loop,
+    re-warp and composition — compiles into ONE XLA program: one dispatch, one
+    device round-trip. (The plain :func:`register_cascade` issues ~25 separate
+    jitted calls, each paying dispatch latency — painful on remote-device
+    transports.) ``config`` takes the same keyword arguments as
+    :func:`register_cascade`; all must be hashable (use tuples for lists).
+    """
+    import jax as _jax
+
+    key = tuple(sorted(config.items()))
+    fn = _CASCADE_CACHE.get(key)
+    if fn is None:
+        def fn_inner(moving, target):
+            return register_cascade(moving, target, **config)
+
+        fn = _jax.jit(fn_inner)
+        _CASCADE_CACHE[key] = fn
+    return fn
+
+
+_CASCADE_CACHE: dict = {}
+
+
 class CascadeResult(NamedTuple):
     warped: jnp.ndarray  # final registered image
     theta: jnp.ndarray  # composed rigid∘affine matrix [1, d, d+1]
