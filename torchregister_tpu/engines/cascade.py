@@ -98,6 +98,7 @@ def register_cascade(
     residual_shift: int = 8,
     final_warp: str = "separable",
     flow_max_size: int = 160,
+    flow_dtype: str = "float32",
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -181,6 +182,7 @@ def register_cascade(
             flow_in, flow_tgt, lr=flow_lr, max_epochs=flow_epochs,
             criterions=list(criterions), weights=weights, n=n,
             depth=flow_depth, optimizer=optimizer, key=jax.random.key(seed),
+            dtype=flow_dtype,
         )
         flow = fres.flow
         flow_losses = fres.losses

@@ -62,8 +62,10 @@ def _build_flow_fn(
     depth: int,
     method: str = "separable",
     max_disp: int = 8,
+    dtype: str = "float32",
 ):
-    model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth)
+    model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth,
+                          dtype=jnp.dtype(dtype))
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
 
@@ -130,6 +132,7 @@ def flow_register(
     key=None,
     method: str = "separable",
     max_disp: int = 8,
+    dtype: str = "float32",
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -149,6 +152,7 @@ def flow_register(
     run, model, init_fn = _build_flow_fn(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
         optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
+        str(dtype),
     )
     if key is None:
         key = jax.random.key(0)

@@ -31,25 +31,31 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.pad import pad_spatial
+from ..ops.resize import axis_nearest_resize
 
 
 def _nearest_resize_cl(x: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
-    """torch-'nearest' resize on channel-last ``[N, *S, C]``."""
-    for axis, (s_in, s_out) in enumerate(zip(x.shape[1:-1], out_spatial)):
-        if s_in == s_out:
-            continue
-        idx = (jnp.arange(s_out) * s_in) // s_out
-        x = jnp.take(x, idx, axis=1 + axis)
+    """torch-'nearest' resize on channel-last ``[N, *S, C]`` (gather-free —
+    one-hot MXU contraction per axis; a take-based resize costs ~100ms+ per
+    U-Net step at 120^3 on TPU)."""
+    for axis, s_out in enumerate(out_spatial):
+        x = axis_nearest_resize(x, 1 + axis, s_out)
     return x
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Non-affine InstanceNorm over spatial axes of ``[N, *S, C]``
-    (torch InstanceNormNd defaults: affine=False, biased variance)."""
+    (torch InstanceNormNd defaults: affine=False, biased variance).
+
+    Uses the one-pass moments form (``var = E[x^2] - E[x]^2``) so XLA computes
+    both reductions in a single read of ``x`` instead of two.
+    """
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)  # stats in f32 even for bf16 activations
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=axes, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def _max_pool_cl(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
@@ -70,14 +76,20 @@ class DoubleConv(nn.Module):
 
     features: int
     ndim: int
+    use_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k = (3,) * self.ndim
-        x = nn.Conv(self.features, k, padding="VALID")(x)
-        x = instance_norm(nn.relu(x))
-        x = nn.Conv(self.features, k, padding="VALID")(x)
-        x = instance_norm(nn.relu(x))
+        x = nn.Conv(self.features, k, padding="VALID", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        if self.use_norm:
+            x = instance_norm(x)
+        x = nn.Conv(self.features, k, padding="VALID", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        if self.use_norm:
+            x = instance_norm(x)
         return x
 
 
@@ -86,14 +98,17 @@ class UpBlock(nn.Module):
 
     features: int
     ndim: int
+    use_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.ConvTranspose(
             self.features, (2,) * self.ndim, strides=(2,) * self.ndim,
-            padding="VALID",
+            padding="VALID", dtype=self.dtype,
         )(x)
-        return instance_norm(nn.relu(x))
+        x = nn.relu(x)
+        return instance_norm(x) if self.use_norm else x
 
 
 class AttentionGate(nn.Module):
@@ -105,22 +120,35 @@ class AttentionGate(nn.Module):
     inter_features: int
     ndim: int
     stride: int = 3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, g):
         a = nn.Conv(
             self.inter_features, (1,) * self.ndim,
             strides=(self.stride,) * self.ndim, use_bias=False,
+            dtype=self.dtype,
         )(x)
-        b = nn.Conv(self.inter_features, (1,) * self.ndim, use_bias=True)(g)
+        b = nn.Conv(self.inter_features, (1,) * self.ndim, use_bias=True,
+                    dtype=self.dtype)(g)
         # Reference reconciles by comparing only the last spatial dim
         # (utils.py:395-399) and padNd-ing the smaller tensor to the other.
         if a.shape[-2] < b.shape[-2]:
             a = pad_spatial(a, b.shape[1:-1], first_axis=1)
         elif a.shape[-2] > b.shape[-2]:
             b = pad_spatial(b, a.shape[1:-1], first_axis=1)
-        w = nn.sigmoid(nn.Conv(1, (1,) * self.ndim, use_bias=True)(nn.relu(a + b)))
-        w = _nearest_resize_cl(w, x.shape[1:-1])
+        w = nn.sigmoid(
+            nn.Conv(1, (1,) * self.ndim, use_bias=True, dtype=self.dtype)(
+                nn.relu(a + b)
+            )
+        )
+        # Work with the weight map SQUEEZED to [N, *S]: a trailing channel
+        # dim of 1 puts size-1 on the TPU lane axis (padded to 128 — a 128x
+        # memory blowup at full resolution).
+        w = w[..., 0]
+        for axis, s_out in enumerate(x.shape[1:-1]):
+            w = axis_nearest_resize(w, 1 + axis, s_out)
+        w = w[..., None]
         return instance_norm(x * w), w
 
 
@@ -158,34 +186,49 @@ class AttentionUNet(nn.Module):
     in_c: int = 1
     n: float = 1
     depth: int = 4
+    use_attention: bool = True  # ablation/config: plain skips when False
+    use_norm: bool = True  # ablation/config: drop InstanceNorms when False
+    dtype: jnp.dtype = jnp.float32  # compute dtype; bf16 halves HBM traffic
+    # and doubles MXU rate (params stay f32; norms/flow head compute in f32)
 
     @nn.compact
     def __call__(self, x):
         chans = level_channels(self.depth, self.n)
         in_spatial = x.shape[1:-1]
+        x = x.astype(self.dtype)
 
         skips = []
         y = x
         for i in range(self.depth):
-            y = DoubleConv(chans[i], self.ndim, name=f"enc{i+1}")(y)
+            y = DoubleConv(chans[i], self.ndim, self.use_norm, self.dtype,
+                           name=f"enc{i+1}")(y)
             skips.append(y)
             y = _max_pool_cl(y)
 
         # Bottleneck: double conv at chans[depth] then upsample to
         # chans[depth-1] (reference layer5, utils.py:438-441).
-        y = DoubleConv(chans[self.depth], self.ndim, name="bottleneck")(y)
-        y = UpBlock(chans[self.depth - 1], self.ndim, name="up0")(y)
+        y = DoubleConv(chans[self.depth], self.ndim, self.use_norm, self.dtype,
+                       name="bottleneck")(y)
+        y = UpBlock(chans[self.depth - 1], self.ndim, self.use_norm, self.dtype,
+                    name="up0")(y)
 
         for j in range(self.depth - 1, -1, -1):
-            gated, _ = AttentionGate(chans[j], self.ndim, name=f"skip{j+1}")(
-                skips[j], y
-            )
+            if self.use_attention:
+                gated, _ = AttentionGate(chans[j], self.ndim, dtype=self.dtype,
+                                         name=f"skip{j+1}")(skips[j], y)
+            else:
+                gated = skips[j]
             y = pad_spatial(y, gated.shape[1:-1], first_axis=1)
-            y = jnp.concatenate([gated, y], axis=-1)
-            y = DoubleConv(chans[j], self.ndim, name=f"dec{j+1}")(y)
+            y = jnp.concatenate([gated, y.astype(gated.dtype)], axis=-1)
+            y = DoubleConv(chans[j], self.ndim, self.use_norm, self.dtype,
+                           name=f"dec{j+1}")(y)
             if j > 0:
-                y = UpBlock(chans[j - 1], self.ndim, name=f"up{self.depth - j}")(y)
+                y = UpBlock(chans[j - 1], self.ndim, self.use_norm, self.dtype,
+                            name=f"up{self.depth - j}")(y)
 
         y = pad_spatial(y, in_spatial, first_axis=1)
-        flow = nn.Conv(self.ndim, (1,) * self.ndim, name="out")(y)
+        # Flow head in f32: sub-voxel displacement precision matters.
+        flow = nn.Conv(self.ndim, (1,) * self.ndim, name="out")(
+            y.astype(jnp.float32)
+        )
         return flow

@@ -15,8 +15,31 @@ from __future__ import annotations
 from functools import partial
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def axis_nearest_resize(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
+    """Nearest resize along one axis via a static one-hot matmul.
+
+    torch-'nearest' semantics (``src = (i * in) // out``). A ``jnp.take`` with
+    an index array would lower to an XLA gather — near-scalar throughput on
+    TPU, and its transpose (the backward) to a scatter. The index map is
+    static, so instead contract with a one-hot ``[out, in]`` selector on the
+    MXU: exact (one nonzero per row), fast, and its transpose is just the
+    transposed matmul.
+    """
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    idx = (np.arange(out_size) * in_size) // out_size
+    onehot = jnp.asarray(np.eye(in_size, dtype=np.float32)[idx])  # [out, in]
+    x = jnp.moveaxis(x, axis, -1)
+    y = jnp.einsum(
+        "...i,oi->...o", x, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.moveaxis(y, -1, axis)
 
 
 @partial(jax.jit, static_argnames=("out_spatial",))
@@ -24,10 +47,7 @@ def nearest_resize(x: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     """Nearest resize of ``x [N, C, *S]`` to ``out_spatial`` (torch 'nearest')."""
     spatial = x.shape[2:]
     for axis, (s_in, s_out) in enumerate(zip(spatial, out_spatial)):
-        if s_in == s_out:
-            continue
-        idx = (jnp.arange(s_out) * s_in) // s_out
-        x = jnp.take(x, idx, axis=2 + axis)
+        x = axis_nearest_resize(x, 2 + axis, s_out)
     return x
 
 
