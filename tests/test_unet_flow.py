@@ -29,37 +29,71 @@ def test_max_depth_for():
 def test_instance_norm_matches_torch():
     import torch
 
-    x = np.random.default_rng(0).normal(size=(2, 9, 9, 3)).astype(np.float32)
+    x = np.random.default_rng(0).normal(size=(2, 3, 9, 9)).astype(np.float32)
     ours = np.asarray(instance_norm(jnp.asarray(x)))
-    t = torch.nn.functional.instance_norm(
-        torch.from_numpy(x).permute(0, 3, 1, 2)
-    ).permute(0, 2, 3, 1).numpy()
+    t = torch.nn.functional.instance_norm(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(ours, t, rtol=1e-4, atol=1e-5)
+
+
+def test_tap_conv_matches_torch_conv():
+    import torch
+
+    from torchregister_tpu.models.attention_unet import TapConv
+
+    x = np.random.default_rng(7).normal(size=(1, 3, 12, 13)).astype(np.float32)
+    conv = TapConv(features=5, ndim=2)
+    params = conv.init(jax.random.key(0), jnp.asarray(x))["params"]
+    ours = np.asarray(conv.apply({"params": params}, jnp.asarray(x)))
+    # torch oracle: same kernel, [Co, Ci, kh, kw] layout
+    w = np.asarray(params["kernel"]).transpose(3, 2, 0, 1)
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w.copy()),
+        torch.from_numpy(np.asarray(params["bias"])),
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_tap_conv_transpose_matches_torch():
+    import torch
+
+    from torchregister_tpu.models.attention_unet import TapConvTranspose2x
+
+    x = np.random.default_rng(8).normal(size=(1, 4, 6, 7)).astype(np.float32)
+    up = TapConvTranspose2x(features=3, ndim=2)
+    params = up.init(jax.random.key(1), jnp.asarray(x))["params"]
+    ours = np.asarray(up.apply({"params": params}, jnp.asarray(x)))
+    # torch ConvTranspose2d weight layout: [Ci, Co, kh, kw]
+    w = np.asarray(params["kernel"]).transpose(2, 3, 0, 1)
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w.copy()),
+        torch.from_numpy(np.asarray(params["bias"])), stride=2,
+    ).numpy()
+    assert ours.shape == ref.shape == (1, 3, 12, 14)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
 def test_unet_2d_shapes():
     model = AttentionUNet(ndim=2, n=32, depth=2)
-    x = jnp.zeros((1, 48, 40, 1))
+    x = jnp.zeros((1, 1, 48, 40))
     params = model.init(jax.random.key(0), x)["params"]
     flow = model.apply({"params": params}, x)
-    assert flow.shape == (1, 48, 40, 2)
+    assert flow.shape == (1, 2, 48, 40)
 
 
 def test_unet_3d_shapes_and_warp():
     model = AttentionUNet(ndim=3, n=64, depth=1)
-    x = jnp.ones((1, 14, 16, 18, 1))
+    x = jnp.ones((1, 1, 14, 16, 18))
     params = model.init(jax.random.key(1), x)["params"]
-    flow_cl = model.apply({"params": params}, x)
-    assert flow_cl.shape == (1, 14, 16, 18, 3)
-    flow = jnp.moveaxis(flow_cl, -1, 1)
-    warped = warp_flow(jnp.moveaxis(x, -1, 1), flow)
+    flow = model.apply({"params": params}, x)
+    assert flow.shape == (1, 3, 14, 16, 18)
+    warped = warp_flow(x, flow)
     assert warped.shape == (1, 1, 14, 16, 18)
     assert np.isfinite(np.asarray(warped)).all()
 
 
 def test_unet_gradients_flow():
     model = AttentionUNet(ndim=2, n=32, depth=2)
-    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 32, 32, 1)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 1, 32, 32)), jnp.float32)
     params = model.init(jax.random.key(2), x)["params"]
 
     def loss(p):

@@ -169,23 +169,43 @@ def register_cascade(
     flow = None
     if "flow" in stages:
         # Flow fields are smooth: for volumes beyond ``flow_max_size`` the
-        # U-Net optimization runs at half resolution and the field is
-        # upsampled (VoxelMorph practice). This also avoids XLA's layout-
-        # padding blowup for 2-channel full-res decoder tensors on TPU.
+        # U-Net optimization runs at up to half resolution with its own
+        # coarse-to-fine mini-pyramid — the U-Net weights are resolution-
+        # independent, so coarse levels warm-start fine ones. Half-res also
+        # avoids XLA layout blowups for narrow full-res decoder tensors.
         flow_in, flow_tgt = warped, target
         scale = 1
         while max(flow_in.shape[2:]) > flow_max_size:
             flow_in = downsample_avg(flow_in, 2)
             flow_tgt = downsample_avg(flow_tgt, 2)
             scale *= 2
-        _, fres = flow_register(
-            flow_in, flow_tgt, lr=flow_lr, max_epochs=flow_epochs,
-            criterions=list(criterions), weights=weights, n=n,
-            depth=flow_depth, optimizer=optimizer, key=jax.random.key(seed),
-            dtype=flow_dtype,
-        )
+        flow_levels = min(2, levels)
+        f_pyr_in = build_pyramid(flow_in, flow_levels)
+        f_pyr_tgt = build_pyramid(flow_tgt, flow_levels)
+        if flow_depth is None:
+            # One depth across levels: warm-starting requires an identical
+            # parameter structure, so clamp to the coarsest level's maximum.
+            from ..models.attention_unet import max_depth_for
+
+            flow_depth = max_depth_for(f_pyr_in[0].shape[2:])
+        weights_sched = [2.0 ** (flow_levels - 1 - i) for i in range(flow_levels)]
+        wsum = sum(weights_sched)
+        budgets = [max(1, int(round(flow_epochs * wgt / wsum)))
+                   for wgt in weights_sched]
+        params = None
+        losses = []
+        for (f_in, f_tgt), eps in zip(zip(f_pyr_in, f_pyr_tgt), budgets):
+            _, fres = flow_register(
+                f_in, f_tgt, lr=flow_lr, max_epochs=eps,
+                criterions=list(criterions), weights=weights, n=n,
+                depth=flow_depth, optimizer=optimizer,
+                key=jax.random.key(seed), dtype=flow_dtype,
+                init_params=params,
+            )
+            params = fres.params
+            losses.append(fres.losses)
         flow = fres.flow
-        flow_losses = fres.losses
+        flow_losses = jnp.concatenate(losses)
         if scale > 1:
             flow = upsample_flow(flow, warped.shape[2:])
         if final_warp == "exact":

@@ -74,15 +74,12 @@ def _build_flow_fn(
             return warp_flow_separable(moving, flow, max_disp=max_disp)
         return warp_flow(moving, flow)
 
-    def predict_flow(params, moving_cl):
-        flow_cl = model.apply({"params": params}, moving_cl)
-        return jnp.moveaxis(flow_cl, -1, 1)  # [N, d, *S]
+    def predict_flow(params, moving):
+        return model.apply({"params": params}, moving)  # [N, d, *S]
 
     def run(moving, target, params0):
-        moving_cl = jnp.moveaxis(moving, 1, -1)
-
         def loss_fn(params):
-            flow = predict_flow(params, moving_cl)
+            flow = predict_flow(params, moving)
             warped = warp(moving, flow)
             return loss(target, warped)
 
@@ -105,14 +102,14 @@ def _build_flow_fn(
         params, _, steps, losses, last = jax.lax.while_loop(
             cond, _body, (params0, opt_state0, jnp.int32(0), losses0, jnp.float32(jnp.inf))
         )
-        flow = predict_flow(params, moving_cl)
+        flow = predict_flow(params, moving)
         warped = warp(moving, flow)  # method-consistent final warp
         converged = last <= stop_crit
         return flow, warped, losses, steps, converged, params
 
     # Jitted param init: eager flax init dispatches hundreds of ops (very
     # costly over remote-device transports).
-    init_fn = jax.jit(lambda key, x_cl: model.init(key, x_cl)["params"])
+    init_fn = jax.jit(lambda key, x: model.init(key, x)["params"])
     return jax.jit(run), model, init_fn
 
 
@@ -133,11 +130,14 @@ def flow_register(
     method: str = "separable",
     max_disp: int = 8,
     dtype: str = "float32",
+    init_params=None,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
     Returns ``(warped, FlowResult)``. Re-apply the recovered field to other
-    images with ``warp_flow(x, result.flow)``.
+    images with ``warp_flow(x, result.flow)``. ``init_params`` warm-starts the
+    U-Net — the weights are resolution-independent, so coarse-to-fine flow
+    pyramids just continue optimizing the same parameters at finer levels.
     """
     if grad_edges:
         moving = edge_filter(moving)
@@ -156,8 +156,7 @@ def flow_register(
     )
     if key is None:
         key = jax.random.key(0)
-    moving_cl = jnp.moveaxis(moving, 1, -1)
-    params0 = init_fn(key, moving_cl)
+    params0 = init_params if init_params is not None else init_fn(key, moving)
     flow, warped, losses, steps, converged, params = run(moving, target, params0)
     return warped, FlowResult(flow=flow, losses=losses, steps=steps,
                               converged=converged, params=params)

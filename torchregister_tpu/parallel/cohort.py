@@ -92,10 +92,9 @@ def register_cohort(
             optimizer, ndim, 1, float(n), int(depth),
         )
         keys = jax.random.split(key, B)
-        moving_cl = jnp.moveaxis(movings, 1, -1)
         params0 = jax.jit(
             jax.vmap(lambda k, m: model.init(k, m[None])["params"])
-        )(keys, moving_cl)
+        )(keys, movings)
 
         def one(mov, tgt, p0):
             return run(mov[None], tgt[None], p0)
