@@ -178,7 +178,46 @@ def sweep_resample_axis(
             out = out + _shift_axis(src, s, arr_axis) * w
         return out
 
-    # Large windows: fori_loop over a pre-padded source (dynamic-start slice).
+    if jax.default_backend() != "cpu":
+        # Large windows on TPU: the Pallas kernel keeps the whole sweep in
+        # VMEM (3 HBM passes total vs one per shift term for the fori path).
+        from .pallas.sweep import sweep_lastaxis
+
+        full_shape = jnp.broadcast_shapes(src.shape, q.shape[:2] + src.shape[2:])
+        srcb = jnp.broadcast_to(src, full_shape)
+        qb = jnp.broadcast_to(q, full_shape)
+        x2 = jnp.moveaxis(srcb, arr_axis, -1)
+        q2 = jnp.moveaxis(qb, arr_axis, -1)
+        lead = x2.shape[:-1]
+        out2 = sweep_lastaxis(
+            x2.reshape(-1, size).astype(jnp.float32),
+            q2.reshape(-1, size).astype(jnp.float32),
+            K,
+        )
+        return jnp.moveaxis(out2.reshape(lead + (size,)), -1, arr_axis).astype(
+            src.dtype
+        )
+
+    return _sweep_fori(src, q, axis, K)
+
+
+def _sweep_fori(src: jnp.ndarray, q: jnp.ndarray, axis: int, K: int) -> jnp.ndarray:
+    """XLA fori_loop sweep over a pre-padded source (dynamic-start slices).
+
+    One HBM pass per shift term — the portable fallback, and the linear map
+    the Pallas kernel's VJP transposes.
+    """
+    arr_axis = axis + 2
+    size = src.shape[arr_axis]
+    d = src.ndim - 2
+    iota = jnp.arange(size, dtype=jnp.float32).reshape(
+        (1, 1) + tuple(size if i == axis else 1 for i in range(d))
+    )
+    q0 = jnp.floor(q)
+    fr = (q - q0).astype(src.dtype)
+    k = q0 - iota
+    n_terms = 2 * K + 2
+
     pad = [(0, 0)] * src.ndim
     pad[arr_axis] = (K + 1, K + 2)
     padded = jnp.pad(src, pad)
