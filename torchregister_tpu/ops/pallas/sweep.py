@@ -39,19 +39,33 @@ def _fwd_kernel(q_ref, src_ref, out_ref, diff_ref, *, K: int, X: int):
     q = q_ref[:]  # [TR, X]
     q0 = jnp.floor(q)
     fr = q - q0
-    iota_x = jax.lax.broadcasted_iota(jnp.float32, q.shape, 1)
+    # Mosaic iota must be integer-typed; cast to f32 after.
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1).astype(jnp.float32)
     k = q0 - iota_x
-    acc = jnp.zeros(q.shape, jnp.float32)
-    floor_v = jnp.zeros(q.shape, jnp.float32)
-    ceil_v = jnp.zeros(q.shape, jnp.float32)
-    for i in range(2 * K + 2):
-        s = float(i - K)
-        seg = src_ref[:, i + 1 : i + 1 + X]
+
+    # fori_loop (an unrolled Python loop makes Mosaic stack-allocate every
+    # iteration's temporaries, blowing the 16 MB VMEM scope). Mosaic cannot
+    # do unaligned dynamic lane slices, so instead of slicing the padded row
+    # at offset i we carry the padded block and rotate it one lane per
+    # iteration — the window is then always the same static slice.
+    P = X + 2 * K + 3  # padded row length (static)
+    cur0 = pltpu.roll(src_ref[:], P - 1, 1)  # left-rotate by 1 (shift >= 0)
+    zeros = jnp.zeros(q.shape, jnp.float32)
+
+    def body(i, carry):
+        acc, floor_v, ceil_v, cur = carry
+        s = (i - K).astype(jnp.float32)
+        seg = cur[:, :X]
         m0 = (k == s).astype(jnp.float32)
         m1 = (k == s - 1.0).astype(jnp.float32)
-        acc += seg * (m0 * (1.0 - fr) + m1 * fr)
-        floor_v += seg * m0
-        ceil_v += seg * m1
+        acc = acc + seg * (m0 * (1.0 - fr) + m1 * fr)
+        floor_v = floor_v + seg * m0
+        ceil_v = ceil_v + seg * m1
+        return acc, floor_v, ceil_v, pltpu.roll(cur, P - 1, 1)
+
+    acc, floor_v, ceil_v, _ = jax.lax.fori_loop(
+        0, 2 * K + 2, body, (zeros, zeros, zeros, cur0)
+    )
     out_ref[:] = acc
     diff_ref[:] = ceil_v - floor_v
 
@@ -77,12 +91,12 @@ def _sweep_fwd_raw(src: jnp.ndarray, q: jnp.ndarray, K: int):
         kern,
         grid=(rows // TR,),
         in_specs=[
-            pl.BlockSpec((TR, X), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, X), lambda i: (i, 0)),
+            pl.BlockSpec((TR, P), lambda i: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TR, X), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, X), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, X), lambda i: (i, 0)),
+            pl.BlockSpec((TR, X), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, X), jnp.float32),

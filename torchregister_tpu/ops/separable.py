@@ -45,6 +45,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -178,9 +179,12 @@ def sweep_resample_axis(
             out = out + _shift_axis(src, s, arr_axis) * w
         return out
 
-    if jax.default_backend() != "cpu":
-        # Large windows on TPU: the Pallas kernel keeps the whole sweep in
-        # VMEM (3 HBM passes total vs one per shift term for the fori path).
+    # Large windows on TPU: the Pallas kernel keeps the whole sweep in VMEM.
+    # Only worthwhile when the padded working set exceeds VMEM — below that
+    # XLA's fori path caches the padded source on-chip and wins.
+    rows = int(np.prod(src.shape)) // size
+    padded_bytes = rows * (size + 2 * K + 3) * 4
+    if jax.default_backend() != "cpu" and padded_bytes > 12_000_000:
         from .pallas.sweep import sweep_lastaxis
 
         full_shape = jnp.broadcast_shapes(src.shape, q.shape[:2] + src.shape[2:])
