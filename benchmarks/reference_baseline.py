@@ -59,16 +59,22 @@ def main():
         "reference 2D rigid 256²", 200, 10,
     )
 
+    # 3D with the default criterion stack is unmeasurable on CPU: the
+    # reference NMI loss materializes an [8, 2e6, 256] KDE tensor (~30+ GB)
+    # per step and thrashes. Pass an explicit criterion list, which the
+    # reference replaces with [MSELoss()] (warpings.py:36-40) — its cheapest
+    # configuration, so the ratio is conservative in the reference's favor.
+    mse_only = [torch.nn.MSELoss()]
     m3, t3 = _pair((128, 128, 128), seed=1)
-    rows["3D rigid 128³, 500 ep"] = time_fn(
-        lambda n: warpings.rigid_register(m3, t3, lr=1e-5, epochs=n,
-                                          debug=False, grad_edges=False),
-        "reference 3D rigid 128³", 500, 3,
+    rows["3D rigid 128³, 500 ep (MSE)"] = time_fn(
+        lambda n: warpings.rigid_register(m3, t3, lr=1e-5, epochs=n, debug=False,
+                                          grad_edges=False, criterions=mse_only),
+        "reference 3D rigid 128³ (MSE)", 500, 5,
     )
-    rows["3D affine 128³, 200 ep"] = time_fn(
-        lambda n: warpings.affine_register(m3, t3, lr=1e-5, epochs=n,
-                                           debug=False, grad_edges=False),
-        "reference 3D affine 128³", 200, 3,
+    rows["3D affine 128³, 200 ep (MSE)"] = time_fn(
+        lambda n: warpings.affine_register(m3, t3, lr=1e-5, epochs=n, debug=False,
+                                           grad_edges=False, criterions=mse_only),
+        "reference 3D affine 128³ (MSE)", 200, 5,
     )
 
     # Flow at 128^3 crashes in the reference (valid convs underflow at the
@@ -76,7 +82,8 @@ def main():
     m4, t4 = _pair((160, 160, 160), seed=2)
     def flow_n(n):
         fr = warpings.flow_register(tuple(m4.shape[2:]), mode="bilinear", n=32,
-                                    lr=1e-3, max_epochs=n)
+                                    lr=1e-3, max_epochs=n,
+                                    criterions=mse_only, weights=[1.0])
         fr.optimize(m4, t4, "cpu", debug=False)
     try:
         rows["3D flow 160³, 100 ep (n=32)"] = time_fn(flow_n, "reference 3D flow 160³", 100, 2)

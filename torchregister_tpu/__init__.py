@@ -22,6 +22,8 @@ from .engines import (
     flow_register,
     rigid_register,
 )
+from .engines.cascade import CascadeResult, make_cascade_fn, register_cascade
+from .parallel import make_mesh, register_cohort
 from .losses import get_criterion, lncc, mse, ncc, nmi, nmi_loss, ssd
 from .ops.edge import edge_filter
 from .ops.resample import grid_sample, warp_affine, warp_flow
@@ -35,6 +37,11 @@ __all__ = [
     "rigid_register",
     "affine_register",
     "flow_register",
+    "register_cascade",
+    "make_cascade_fn",
+    "CascadeResult",
+    "register_cohort",
+    "make_mesh",
     "RegistrationResult",
     "FlowResult",
     "warp_affine",
