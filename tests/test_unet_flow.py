@@ -148,6 +148,31 @@ def test_flow_register_early_stop():
     assert np.isfinite(losses[0]) and np.isnan(losses[1:]).all()
 
 
+def test_flow_register_bf16_compute():
+    moving, target = _pair_2d()
+    warped, res = flow_register(
+        moving, target, lr=2e-3, max_epochs=20, criterions=["mse"],
+        optimizer="adam", n=32, depth=2, dtype="bfloat16",
+    )
+    losses = np.asarray(res.losses)
+    valid = losses[np.isfinite(losses)]
+    assert np.isfinite(valid).all()
+    assert valid[-1] < valid[0]  # still optimizes in bf16
+    assert res.flow.dtype == jnp.float32  # f32 flow head
+
+
+def test_flow_register_warm_start_params():
+    moving, target = _pair_2d()
+    _, r1 = flow_register(moving, target, lr=2e-3, max_epochs=5,
+                          criterions=["mse"], optimizer="adam", n=32, depth=2)
+    _, r2 = flow_register(moving, target, lr=2e-3, max_epochs=5,
+                          criterions=["mse"], optimizer="adam", n=32, depth=2,
+                          init_params=r1.params)
+    l1 = np.asarray(r1.losses)[0]
+    l2 = np.asarray(r2.losses)[0]
+    assert l2 < l1  # warm start resumes from the optimized params
+
+
 def test_flow_deform_reapplies_to_other_channels():
     moving, target = _pair_2d()
     _, res = flow_register(
