@@ -61,6 +61,7 @@ def run_cascade(moving, target):
             criterions=("mse", "ncc"),
             optimizer="adam",
             n=8,
+            flow_dtype="bfloat16",
         )
     res = _CASCADE(moving, target)
     # Force real completion: on remote-device transports block_until_ready can
