@@ -99,6 +99,7 @@ def register_cascade(
     final_warp: str = "separable",
     flow_max_size: int = 160,
     flow_dtype: str = "float32",
+    level_decay: float = 2.0,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -125,11 +126,12 @@ def register_cascade(
             return max(residual_shift, max(mov_l.shape[2:]) // 4)
         return residual_shift
 
-    def level_budgets(total):
+    def level_budgets(total, nlevels=None):
         """Geometric epoch split favoring coarse levels (a fine-level step
         costs ~2^d x more than the level below; coarse levels do the
-        alignment, fine levels polish)."""
-        weights = [2.0 ** (levels - 1 - i) for i in range(levels)]
+        alignment, fine levels polish). ``level_decay`` sets the ratio."""
+        nlevels = levels if nlevels is None else nlevels
+        weights = [level_decay ** (nlevels - 1 - i) for i in range(nlevels)]
         s = sum(weights)
         return [max(1, int(round(total * w / s))) for w in weights]
 
@@ -188,10 +190,7 @@ def register_cascade(
             from ..models.attention_unet import max_depth_for
 
             flow_depth = max_depth_for(f_pyr_in[0].shape[2:])
-        weights_sched = [2.0 ** (flow_levels - 1 - i) for i in range(flow_levels)]
-        wsum = sum(weights_sched)
-        budgets = [max(1, int(round(flow_epochs * wgt / wsum)))
-                   for wgt in weights_sched]
+        budgets = level_budgets(flow_epochs, flow_levels)
         params = None
         losses = []
         for (f_in, f_tgt), eps in zip(zip(f_pyr_in, f_pyr_tgt), budgets):
