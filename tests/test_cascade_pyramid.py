@@ -84,6 +84,31 @@ def test_make_cascade_fn_single_program_matches_eager():
     assert make_cascade_fn(**cfg) is fn
 
 
+def test_cascade_anisotropic_volume():
+    """Realistic MRI shapes are anisotropic (e.g. 240x240x48); the pyramid,
+    depth clamping and sweeps must handle unequal spatial dims."""
+    moving = _blob((48, 40, 16), seed=5)
+    target = _blob((48, 40, 16), seed=6)
+    res = register_cascade(
+        moving, target, levels=2, rigid_epochs=16, affine_epochs=8,
+        flow_epochs=4, criterions=("mse",), optimizer="adam", n=32,
+    )
+    assert res.warped.shape == moving.shape
+    assert res.flow.shape == (1, 3, 48, 40, 16)
+    assert np.isfinite(np.asarray(res.warped)).all()
+
+
+def test_cascade_odd_sizes():
+    moving = _blob((45, 37), seed=7)
+    target = _blob((45, 37), seed=8)
+    res = register_cascade(
+        moving, target, stages=("rigid", "affine"), levels=2,
+        rigid_epochs=10, affine_epochs=6, criterions=("mse",), optimizer="adam",
+    )
+    assert res.warped.shape == moving.shape
+    assert np.isfinite(np.asarray(res.theta)).all()
+
+
 def test_cascade_full_pipeline_runs_2d():
     moving = _blob((48, 48), seed=1)
     target = _blob((48, 48), seed=2)
