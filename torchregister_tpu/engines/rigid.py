@@ -10,8 +10,8 @@ recommended alternative.
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Callable, Sequence
+from functools import lru_cache
+
 
 import jax
 import jax.numpy as jnp
