@@ -60,6 +60,35 @@ def make_cascade_fn(**config):
 _CASCADE_CACHE: dict = {}
 
 
+def make_cascade_batch_fn(mesh=None, **config):
+    """Batched (and optionally mesh-sharded) cascade:
+    ``fn(movings [B,1,*S], targets [B,1,*S]) -> CascadeResult`` with a leading
+    batch axis on every field — BASELINE config #5 ("batched cascade via
+    vmap"). Pairs are independent, so with a ``mesh`` the batch axis shards
+    over its ``data`` axis with zero collectives.
+    """
+    import jax as _jax
+
+    def one(mov, tgt):
+        return register_cascade(mov[None], tgt[None], **config)
+
+    batched = _jax.vmap(one)
+
+    if mesh is None:
+        return _jax.jit(batched)
+
+    from ..parallel.mesh import batch_sharding
+
+    sh = batch_sharding(mesh)
+
+    def run(movings, targets):
+        movings = _jax.device_put(movings, sh)
+        targets = _jax.device_put(targets, sh)
+        return _jax.jit(batched)(movings, targets)
+
+    return run
+
+
 class CascadeResult(NamedTuple):
     warped: jnp.ndarray  # final registered image
     theta: jnp.ndarray  # composed rigid∘affine matrix [1, d, d+1]
