@@ -129,6 +129,7 @@ def register_cascade(
     flow_max_size: int = 160,
     flow_dtype: str = "float32",
     level_decay: float = 2.0,
+    flow_remat: bool = False,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -228,7 +229,7 @@ def register_cascade(
                 criterions=list(criterions), weights=weights, n=n,
                 depth=flow_depth, optimizer=optimizer,
                 key=jax.random.key(seed), dtype=flow_dtype,
-                init_params=params,
+                init_params=params, remat=flow_remat,
             )
             params = fres.params
             losses.append(fres.losses)

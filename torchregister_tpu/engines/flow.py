@@ -63,6 +63,7 @@ def _build_flow_fn(
     method: str = "separable",
     max_disp: int = 8,
     dtype: str = "float32",
+    remat: bool = False,
 ):
     model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth,
                           dtype=jnp.dtype(dtype))
@@ -75,7 +76,12 @@ def _build_flow_fn(
         return warp_flow(moving, flow)
 
     def predict_flow(params, moving):
-        return model.apply({"params": params}, moving)  # [N, d, *S]
+        apply = lambda p, m: model.apply({"params": p}, m)  # [N, d, *S]
+        if remat:
+            # Trade ~30% step time for activation memory (needed e.g. for a
+            # batch of 8 240^3 pairs on one 16 GB chip).
+            apply = jax.checkpoint(apply)
+        return apply(params, moving)
 
     def run(moving, target, params0):
         def loss_fn(params):
@@ -131,6 +137,7 @@ def flow_register(
     max_disp: int = 8,
     dtype: str = "float32",
     init_params=None,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -152,7 +159,7 @@ def flow_register(
     run, model, init_fn = _build_flow_fn(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
         optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
-        str(dtype),
+        str(dtype), bool(remat),
     )
     if key is None:
         key = jax.random.key(0)
