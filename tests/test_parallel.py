@@ -74,6 +74,31 @@ def test_cohort_sharded_matches_unsharded():
     )
 
 
+def test_spatially_sharded_warp_matches_unsharded():
+    """SP seam: a volume sharded across a spatial axis warps identically —
+    XLA GSPMD inserts the halo exchanges for the sweep's shifts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from torchregister_tpu.ops.separable import warp_affine_separable
+    from torchregister_tpu.ops.transforms import rigid_theta
+    from torchregister_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    vol = _blobs(1, (32, 32, 32), seed=9)
+    theta = rigid_theta(jnp.asarray([0.05, -0.04, 0.03, 0.1, -0.1, 0.05],
+                                    jnp.float32))[None]
+    ref = np.asarray(warp_affine_separable(theta, vol, max_shift=8))
+
+    mesh = make_mesh((8,), ("space",))
+    sh = volume_sharding(mesh, spatial_axis=0, mesh_axis="space", ndim=3)
+    vol_sharded = jax.device_put(vol, sh)
+    out = np.asarray(
+        jax.jit(lambda t, v: warp_affine_separable(t, v, max_shift=8))(
+            theta, vol_sharded
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_cohort_flow_runs():
     movings = _blobs(2, (20, 20), seed=5)
     targets = _blobs(2, (20, 20), seed=6)
