@@ -63,6 +63,11 @@ def kde_pdf(
         main = (L // chunk) * chunk
         body = signals[:, :main].reshape(n, L // chunk, chunk).transpose(1, 0, 2)
 
+        # Remat the chunk body: without it, reverse-mode saves each chunk's
+        # [n, chunk, bins] kernel tensor as a scan residual — tens of GB for
+        # a 3D volume. Recomputing the exps in the backward keeps memory at
+        # O(n * chunk * bins) total.
+        @jax.checkpoint
         def step(acc, sig_chunk):
             return acc + _kde_accumulate(sig_chunk, xis, h), None
 
