@@ -45,28 +45,32 @@ def _fwd_kernel(q_ref, src_ref, out_ref, diff_ref, *, K: int, X: int):
 
     # fori_loop (an unrolled Python loop makes Mosaic stack-allocate every
     # iteration's temporaries, blowing the 16 MB VMEM scope). Mosaic cannot
-    # do unaligned dynamic lane slices, so instead of slicing the padded row
-    # at offset i we carry the padded block and rotate it one lane per
-    # iteration — the window is then always the same static slice.
-    P = X + 2 * K + 3  # padded row length (static)
-    cur0 = pltpu.roll(src_ref[:], P - 1, 1)  # left-rotate by 1 (shift >= 0)
+    # do unaligned dynamic lane slices, so the padded block is carried and
+    # lane-rotated — by 8 lanes once per 8 shifts (rotates are the dominant
+    # kernel cost; the 8 sub-offsets come from static slices of the carried
+    # value).
+    P = X + 2 * K + 3  # padded row length (static); slack lane at the end
+    n_terms = 2 * K + 2
+    n_outer = -(-n_terms // 8)
     zeros = jnp.zeros(q.shape, jnp.float32)
 
-    def body(i, carry):
-        acc, floor_v, ceil_v, cur = carry
-        s = (i - K).astype(jnp.float32)
-        seg = cur[:, :X]
-        m0 = (k == s).astype(jnp.float32)
-        m1 = (k == s - 1.0).astype(jnp.float32)
-        acc = acc + seg * (m0 * (1.0 - fr) + m1 * fr)
-        floor_v = floor_v + seg * m0
-        ceil_v = ceil_v + seg * m1
-        return acc, floor_v, ceil_v, pltpu.roll(cur, P - 1, 1)
+    def outer(a, carry):
+        floor_v, ceil_v, cur = carry
+        base = a * 8 - K  # shift of sub-offset 0 this round
+        for b in range(8):
+            s = (base + b).astype(jnp.float32)
+            valid = (a * 8 + b) < n_terms
+            # One mask per term: the ceil value for floor-index k sits one
+            # lane over, so a second static slice replaces the second mask.
+            m = jnp.where((k == s) & valid, 1.0, 0.0)
+            floor_v = floor_v + cur[:, 1 + b : 1 + b + X] * m
+            ceil_v = ceil_v + cur[:, 2 + b : 2 + b + X] * m
+        return floor_v, ceil_v, pltpu.roll(cur, P - 8, 1)
 
-    acc, floor_v, ceil_v, _ = jax.lax.fori_loop(
-        0, 2 * K + 2, body, (zeros, zeros, zeros, cur0)
+    floor_v, ceil_v, _ = jax.lax.fori_loop(
+        0, n_outer, outer, (zeros, zeros, src_ref[:])
     )
-    out_ref[:] = acc
+    out_ref[:] = floor_v * (1.0 - fr) + ceil_v * fr
     diff_ref[:] = ceil_v - floor_v
 
 
