@@ -1,0 +1,61 @@
+"""CLI driver tests (register + apply round trip through volio NIfTI)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from torchregister_tpu.__main__ import main
+from torchregister_tpu.ops.resample import warp_affine
+from torchregister_tpu.ops.transforms import rigid_theta
+from torchregister_tpu.utils.volio import read_volume, write_volume
+
+
+@pytest.fixture()
+def pair(tmp_path):
+    rng = np.random.default_rng(0)
+    g = np.meshgrid(*[np.linspace(-1, 1, 32)] * 2, indexing="ij")
+    vol = sum(
+        np.exp(-((g[0] - c0) ** 2 + (g[1] - c1) ** 2) / 0.08)
+        for c0, c1 in rng.uniform(-0.4, 0.4, (4, 2))
+    ).astype(np.float32)
+    moving = jnp.asarray(vol[None, None])
+    target = warp_affine(rigid_theta(jnp.asarray([0.08, 0.04, -0.03], jnp.float32))[None], moving)
+    mp, tp = str(tmp_path / "m.nii"), str(tmp_path / "t.nii")
+    write_volume(mp, vol)
+    write_volume(tp, np.asarray(target)[0, 0])
+    return mp, tp, tmp_path
+
+
+def test_cli_register_rigid_and_apply(pair, capsys):
+    mp, tp, tmp = pair
+    out = str(tmp / "warped.nii")
+    trf = str(tmp / "trf.npz")
+    rc = main(["register", mp, tp, "--mode", "rigid", "--epochs", "120",
+               "--lr", "5e-3", "--criterion", "mse", "-o", out,
+               "--save-transform", trf])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "reduction" in msg
+    warped = read_volume(out)
+    assert warped.shape == (32, 32)
+
+    out2 = str(tmp / "warped2.nii")
+    rc = main(["apply", mp, trf, "-o", out2])
+    assert rc == 0
+    np.testing.assert_allclose(read_volume(out2), warped, atol=1e-5)
+
+
+def test_cli_register_cascade(pair, capsys):
+    mp, tp, tmp = pair
+    rc = main(["register", mp, tp, "--mode", "cascade", "--epochs", "40",
+               "--levels", "2", "--criterion", "mse",
+               "--flow-dtype", "float32"])
+    assert rc == 0
+    assert "reduction" in capsys.readouterr().out
+
+
+def test_cli_shape_mismatch_errors(pair, tmp_path):
+    mp, tp, tmp = pair
+    bad = str(tmp_path / "bad.nii")
+    write_volume(bad, np.zeros((16, 16), np.float32))
+    with pytest.raises(SystemExit):
+        main(["register", mp, bad, "--mode", "rigid"])
