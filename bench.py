@@ -41,6 +41,37 @@ def make_pair(shape=(240, 240, 240), seed=0):
     return moving, target
 
 
+def pallas_selftest() -> str:
+    """Value-equality gate for the compiled Pallas sweep kernel.
+
+    CI exercises the kernel only in CPU interpret mode; benchmarks exercise
+    the TPU-compiled roll-carry kernel but measure speed, not values. This
+    runs the compiled kernel against the `_sweep_fori` XLA oracle on the
+    bench shape (one bad lane rotation would ship silently otherwise).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from torchregister_tpu.ops.pallas.sweep import sweep_lastaxis
+    from torchregister_tpu.ops.separable import _sweep_fori
+
+    try:
+        R, S, K = 1024, 240, 80
+        key = jax.random.key(42)
+        src = jax.random.uniform(key, (R, S), jnp.float32)
+        # coordinates spanning the whole window incl. out-of-range edges
+        q = (
+            jnp.arange(S, dtype=jnp.float32)[None, :]
+            + jax.random.uniform(jax.random.key(7), (R, S), minval=-K - 2.0, maxval=K + 2.0)
+        )
+        got = sweep_lastaxis(src, q, K)
+        want = _sweep_fori(src[None, None], q[None, None], 1, K)[0, 0]
+        err = float(jnp.max(jnp.abs(got - want)))
+        return "pass" if err < 1e-5 else f"fail:maxdiff={err:.3e}"
+    except Exception as e:  # pragma: no cover - only on kernel regression
+        return f"fail:{type(e).__name__}"
+
+
 _CASCADE = None
 
 
@@ -72,6 +103,8 @@ def run_cascade(moving, target):
 
 
 def main():
+    selftest = pallas_selftest()
+
     moving, target = make_pair()
 
     # Warmup: compile everything once.
@@ -93,6 +126,7 @@ def main():
                 "value": round(regs_per_min, 3),
                 "unit": "registrations/min",
                 "vs_baseline": round(regs_per_min / baseline, 3),
+                "pallas_selftest": selftest,
             }
         )
     )

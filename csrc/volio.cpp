@@ -91,7 +91,10 @@ template <typename T>
 void convert_to_f32(const uint8_t* raw, float* out, int64_t n, float slope,
                     float inter) {
   const T* src = reinterpret_cast<const T*>(raw);
-  if (slope == 0.0f) slope = 1.0f;  // NIfTI: slope 0 means "unscaled"
+  if (slope == 0.0f) {  // NIfTI-1 spec: scl_slope==0 means "no scaling at all"
+    slope = 1.0f;       // (ignore scl_inter too; it may hold stale garbage)
+    inter = 0.0f;
+  }
   for (int64_t i = 0; i < n; ++i)
     out[i] = static_cast<float>(src[i]) * slope + inter;
 }

@@ -1,0 +1,108 @@
+"""Blocked exact resampler: grid_sample-parity vs the element-gather oracle.
+
+The blocked path (ops/blocked.py) must reproduce ``warp_affine``/``warp_flow``
+(themselves torch-oracle-tested in test_resample.py) to f32 summation
+tolerance, including edge clipping / zeros padding, on volumes that are and
+aren't TILE multiples.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from torchregister_tpu.ops.blocked import (
+    TILE,
+    required_block_affine,
+    required_block_flow,
+    warp_affine_blocked,
+    warp_affine_fast,
+    warp_flow_blocked,
+    warp_flow_fast,
+)
+from torchregister_tpu.ops.resample import warp_affine, warp_flow
+from torchregister_tpu.ops.transforms import rigid_theta
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+    )
+
+
+def _rot_theta(angle=0.3, t=(0.05, -0.03, 0.08)):
+    params = jnp.asarray([angle, -angle / 2, angle / 3, t[0], t[1], t[2]], jnp.float32)
+    return rigid_theta(params)[None]
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("shape", [(24, 24, 24), (25, 30, 27)])
+def test_warp_affine_blocked_matches_exact(align, shape):
+    moving = _rand((1, 1) + shape, 1)
+    theta = _rot_theta(0.35)
+    B = max(10, required_block_affine(theta, shape, align))
+    ours = warp_affine_blocked(theta, moving, align, block=B)
+    ref = warp_affine(theta, moving, align)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_affine_blocked_multichannel():
+    moving = _rand((1, 3, 24, 24, 24), 2)
+    theta = _rot_theta(0.2)
+    ours = warp_affine_blocked(theta, moving, block=14)
+    ref = warp_affine(theta, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_affine_blocked_zeros_padding_at_edges():
+    """Large translation pushes support outside the volume: zeros semantics."""
+    moving = jnp.ones((1, 1, 24, 24, 24), jnp.float32)
+    theta = jnp.asarray([[[1.0, 0, 0, 0.9], [0, 1.0, 0, -0.8], [0, 0, 1.0, 0.5]]])
+    B = max(10, required_block_affine(theta, (24, 24, 24), False))
+    ours = warp_affine_blocked(theta, moving, block=B)
+    ref = warp_affine(theta, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_affine_fast_auto_block_and_fallbacks():
+    moving = _rand((1, 1, 24, 24, 24), 3)
+    theta = _rot_theta(0.4)
+    ours = warp_affine_fast(theta, moving)
+    ref = warp_affine(theta, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+    # 2D input falls back to the exact path, still correct
+    m2 = _rand((1, 1, 20, 20), 4)
+    t2 = jnp.asarray([[[1.0, 0.1, 0.02], [-0.1, 1.0, -0.01]]])
+    np.testing.assert_allclose(
+        np.asarray(warp_affine_fast(t2, m2)),
+        np.asarray(warp_affine(t2, m2)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_required_block_scales_with_rotation():
+    small = required_block_affine(_rot_theta(0.05), (64, 64, 64))
+    big = required_block_affine(_rot_theta(0.9), (64, 64, 64))
+    assert small < big
+    assert small >= TILE
+
+
+@pytest.mark.parametrize("shape", [(24, 24, 24), (22, 26, 25)])
+def test_warp_flow_blocked_matches_exact(shape):
+    src = _rand((1, 1) + shape, 5)
+    flow = jnp.clip(_rand((1, 3) + shape, 6) * 1.5, -4.0, 4.0)
+    B = required_block_flow(float(jnp.max(jnp.abs(flow))))
+    ours = warp_flow_blocked(src, flow, block=B)
+    ref = warp_flow(src, flow)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_flow_fast_auto():
+    src = _rand((1, 2, 24, 24, 24), 7)
+    flow = jnp.clip(_rand((1, 3, 24, 24, 24), 8) * 1.5, -4.0, 4.0)
+    ours = warp_flow_fast(src, flow)
+    ref = warp_flow(src, flow)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+    # explicit max_disp avoids the readback and still matches
+    ours2 = warp_flow_fast(src, flow, max_disp=4.0)
+    np.testing.assert_allclose(np.asarray(ours2), np.asarray(ref), rtol=1e-4, atol=3e-5)

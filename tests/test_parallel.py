@@ -57,8 +57,10 @@ def test_cohort_rigid_sharded_over_mesh():
     )
     assert res.best_theta.shape == (8, 1, 2, 3)
     assert np.isfinite(np.asarray(res.losses)).all()
-    # the computation actually spanned the mesh
-    assert len(res.best_theta.sharding.device_set) >= 1
+    # the computation actually spanned the mesh: the batch-sharded output
+    # lives on all 8 devices, one pair each
+    assert len(res.best_theta.sharding.device_set) == 8
+    assert res.best_theta.sharding.shard_shape(res.best_theta.shape)[0] == 1
 
 
 def test_cohort_sharded_matches_unsharded():
@@ -97,6 +99,27 @@ def test_spatially_sharded_warp_matches_unsharded():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_cohort_grad_edges_per_sample():
+    """edge_filter's min-max normalization is global over its input; cohort
+    filtering must be per-sample or samples couple (ADVICE r1). A batch where
+    sample 1 has 100x the intensity must register sample 0 identically to
+    registering it alone."""
+    from torchregister_tpu.engines.rigid import rigid_register
+
+    m0 = _blobs(1, (16, 16), seed=11)
+    t0 = _blobs(1, (16, 16), seed=12)
+    movings = jnp.concatenate([m0, 100.0 * _blobs(1, (16, 16), seed=13)])
+    targets = jnp.concatenate([t0, 100.0 * _blobs(1, (16, 16), seed=14)])
+    kw = dict(lr=1e-3, epochs=8, criterions=["mse"], optimizer="adam")
+    res = register_cohort(movings, targets, mode="rigid", grad_edges=True,
+                          init="identity", **kw)
+    _, solo = rigid_register(m0, t0, grad_edges=True, init="identity", **kw)
+    np.testing.assert_allclose(
+        np.asarray(res.best_theta[0]), np.asarray(solo.best_theta),
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_cohort_flow_runs():

@@ -111,6 +111,11 @@ def test_save_load_transform(tmp_path):
     np.testing.assert_allclose(np.asarray(reg2.theta), np.asarray(reg.theta))
     out = reg2(moving)
     assert out.shape == moving.shape
+    # rigid<->affine interchange is fine (both are [1,d,d+1] matrices)
+    load_transform(p, tr.Register(mode="rigid"))
+    # but loading a matrix transform into a flow Register would misapply it
+    with pytest.raises(ValueError, match="misapply"):
+        load_transform(p, tr.Register(mode="flow"))
 
 
 def test_debug_flag_prints_summary(capsys):

@@ -25,6 +25,7 @@ from .engines import (
 from .engines.cascade import CascadeResult, make_cascade_fn, register_cascade
 from .parallel import make_mesh, register_cohort
 from .losses import get_criterion, lncc, mse, ncc, nmi, nmi_loss, ssd
+from .ops.blocked import warp_affine_fast, warp_flow_fast
 from .ops.edge import edge_filter
 from .ops.resample import grid_sample, warp_affine, warp_flow
 from .ops.transforms import compose_theta, identity_theta, rigid_theta
@@ -46,6 +47,8 @@ __all__ = [
     "FlowResult",
     "warp_affine",
     "warp_flow",
+    "warp_affine_fast",
+    "warp_flow_fast",
     "grid_sample",
     "edge_filter",
     "rigid_theta",

@@ -43,8 +43,12 @@ def cmd_register(args) -> int:
             moving, target, levels=args.levels,
             rigid_epochs=args.epochs, affine_epochs=max(1, args.epochs // 2),
             flow_epochs=max(1, args.epochs // 5),
+            rigid_lr=args.lr, affine_lr=args.lr, flow_lr=args.lr,
             criterions=tuple(args.criterion) if args.criterion else ("mse", "ncc"),
             optimizer=args.optimizer, flow_dtype=args.flow_dtype,
+            # exact final warp: the saved transform applied via `apply`
+            # (exact blocked resampler) reproduces this output bit-for-bit
+            final_warp="exact",
         )
         warped, theta = res.warped, res.theta
         transform = {"theta": np.asarray(res.theta)}
@@ -81,22 +85,25 @@ def cmd_register(args) -> int:
 def cmd_apply(args) -> int:
     import jax.numpy as jnp
 
-    from .ops.resample import warp_affine, warp_flow
+    from .ops.blocked import warp_affine_fast, warp_flow_fast
     from .utils.io import load_pytree
     from .utils.volio import write_volume
 
     moving = jnp.asarray(_load(args.moving))
-    tr_ = load_pytree(args.transform)
+    try:
+        tr_ = load_pytree(args.transform)
+    except Exception as e:
+        raise SystemExit(
+            f"{args.transform}: not a torchregister-tpu transform file ({e})"
+        )
+    base = moving
+    if "theta" in tr_:  # cascade order: matrix first, then flow
+        base = warp_affine_fast(jnp.asarray(tr_["theta"]), base)
     if "flow" in tr_:
-        warped = warp_flow(moving, jnp.asarray(tr_["flow"]))
-        if "theta" in tr_:  # cascade: matrix first, then flow
-            warped = warp_flow(
-                warp_affine(jnp.asarray(tr_["theta"]), moving),
-                jnp.asarray(tr_["flow"]),
-            )
-    else:
-        warped = warp_affine(jnp.asarray(tr_["theta"]), moving)
-    write_volume(args.output, np.asarray(warped)[0, 0])
+        base = warp_flow_fast(base, jnp.asarray(tr_["flow"]))
+    if "theta" not in tr_ and "flow" not in tr_:
+        raise SystemExit(f"{args.transform}: no theta/flow in transform file")
+    write_volume(args.output, np.asarray(base)[0, 0])
     print(f"wrote {args.output}")
     return 0
 

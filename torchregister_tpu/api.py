@@ -23,8 +23,12 @@ Reference-parity notes:
   ``self.losses``.
 
 Extensions beyond the reference: ``optimizer='adam'``, ``init='identity'``,
-``seed``, and transform (de)serialization via ``save_transform`` /
-``load_transform``.
+``seed``, transform (de)serialization via ``save_transform`` /
+``load_transform``, and resampler control — ``method='separable'|'exact'``
+plus the sweep bounds ``max_shift`` (rigid/affine, None = auto-derived from
+the init theta) and ``max_disp`` (flow, voxels). The separable sweep zeroes
+contributions beyond its window; the engines auto-bump/warn (engines/common),
+and ``method='exact'`` reproduces grid_sample semantics in-loop.
 """
 from __future__ import annotations
 
@@ -37,7 +41,7 @@ import numpy as np
 from .engines.affine import affine_register
 from .engines.flow import flow_register
 from .engines.rigid import rigid_register
-from .ops.resample import warp_affine, warp_flow
+from .ops.blocked import warp_affine_fast, warp_flow_fast
 
 
 def norm(x):
@@ -86,9 +90,14 @@ class Register:
         optimizer: str = "sgd",
         init: str = "random",
         seed: int = 0,
+        method: str = "separable",
+        max_shift=None,
+        max_disp: int = 8,
     ):
         if mode not in ("rigid", "affine", "flow"):
             raise ValueError(f"mode must be rigid|affine|flow, got {mode!r}")
+        if method not in ("separable", "exact"):
+            raise ValueError(f"method must be separable|exact, got {method!r}")
         self.mode = mode
         self.device = _resolve_device(device)
         self.criterion = criterion
@@ -98,6 +107,9 @@ class Register:
         self.optimizer = optimizer
         self.init = init
         self.seed = seed
+        self.method = method
+        self.max_shift = max_shift  # rigid/affine sweep bound (None = auto)
+        self.max_disp = max_disp  # flow sweep bound in voxels
         self.theta = None  # [1,d,d+1] matrix (rigid/affine) or [1,d,*S] flow
         self.losses = None
         self.result = None
@@ -128,6 +140,7 @@ class Register:
                     criterions=self.criterion, weights=self.weight,
                     stop_crit=stop_crit, optimizer=self.optimizer,
                     key=jax.random.key(self.seed),
+                    method=self.method, max_disp=self.max_disp,
                 )
                 self.theta = res.flow
             elif self.mode == "affine":
@@ -135,6 +148,7 @@ class Register:
                     moving, target, lr=lr, epochs=max_epochs, per=per,
                     criterions=self.criterion, weights=self.weight,
                     grad_edges=self.grad_edges, optimizer=self.optimizer,
+                    method=self.method, max_shift=self.max_shift,
                 )
                 self.theta = res.best_theta
             else:
@@ -143,6 +157,7 @@ class Register:
                     criterions=self.criterion, weights=self.weight,
                     grad_edges=self.grad_edges, optimizer=self.optimizer,
                     init=self.init, key=jax.random.key(self.seed),
+                    method=self.method, max_shift=self.max_shift,
                 )
                 self.theta = res.best_theta
         self.result = res
@@ -153,13 +168,18 @@ class Register:
 
     # ----------------------------------------------------------------- warp
     def __call__(self, moving):
-        """Warp ``moving [1, C, *S]`` with the stored transform."""
+        """Warp ``moving [1, C, *S]`` with the stored transform.
+
+        Exact grid_sample-parity semantics via the blocked resampler
+        (ops/blocked.py — ~10-20x the element-gather path at 240^3 on TPU;
+        falls back to it automatically where the blocked path doesn't apply).
+        """
         if self.theta is None:
             raise RuntimeError("call .optim(moving, target) before warping")
         moving = self._put(moving)
         if self.mode == "flow":
-            return warp_flow(moving, self.theta)
-        return warp_affine(self.theta, moving)
+            return warp_flow_fast(moving, self.theta)
+        return warp_affine_fast(self.theta, moving)
 
     # ------------------------------------------------------------- internals
     def _put(self, x):

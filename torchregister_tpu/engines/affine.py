@@ -23,7 +23,13 @@ from ..ops.edge import edge_filter
 from ..ops.resample import warp_affine
 from ..ops.separable import warp_affine_separable
 from ..ops.transforms import identity_theta
-from .common import RegistrationResult, make_optimizer, optimize_scan
+from .common import (
+    RegistrationResult,
+    check_sweep_windows,
+    make_optimizer,
+    optimize_scan,
+    resolve_sweep_windows,
+)
 
 
 @lru_cache(maxsize=64)
@@ -35,7 +41,7 @@ def _build_affine_fn(
     optimizer: str,
     ndim: int,
     method: str = "separable",
-    max_shift: int | None = None,
+    max_shift: int | tuple | None = None,
 ):
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
@@ -78,13 +84,18 @@ def affine_register(
     optimizer: str = "sgd",
     init_theta: jnp.ndarray | None = None,
     method: str = "separable",
-    max_shift: int | None = None,
+    max_shift=None,
+    check_window: bool = True,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a full affine matrix.
 
     Returns ``(warped_best, result)``. ``init_theta`` (``[1, d, d+1]`` or flat)
     lets cascades warm-start from a previous stage; default is identity
     (matching the reference's effective init, warpings.py:47-48,54-55).
+
+    ``max_shift`` (int or per-pass sequence) bounds the separable sweep; by
+    default it is auto-bumped to cover the concrete init theta, and
+    ``check_window`` warns post-run if the recovered theta outgrew it.
     """
     del per  # dead in the reference too — see module docstring
     if grad_edges:
@@ -92,18 +103,35 @@ def affine_register(
         target = edge_filter(target)
     criteria, w = resolve_criteria(criterions, weights)
     ndim = moving.ndim - 2
+    spatial = moving.shape[2:]
     if init_theta is None:
         params0 = identity_theta(ndim).reshape(-1)
     else:
         params0 = jnp.asarray(init_theta, jnp.float32).reshape(-1)
+    if method != "separable":
+        windows = None
+    elif max_shift is not None:
+        windows = max_shift if isinstance(max_shift, int) else tuple(max_shift)
+    elif isinstance(params0, jax.core.Tracer):
+        windows = None  # traced init (cascade): keep the shared default
+    else:
+        import numpy as np
+
+        theta0_np = np.asarray(jax.device_get(params0), np.float64).reshape(
+            ndim, ndim + 1
+        )
+        windows = resolve_sweep_windows(theta0_np, spatial, None)
     run = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
-                           optimizer, ndim, method,
-                           None if max_shift is None else int(max_shift))
+                           optimizer, ndim, method, windows)
     result = run(moving, target, params0)
     if method == "exact":
-        warped_best = warp_affine(result.best_theta, moving)
+        from ..ops.blocked import warp_affine_fast
+
+        warped_best = warp_affine_fast(result.best_theta, moving)
     else:
         warped_best = warp_affine_separable(
-            result.best_theta, moving, max_shift=max_shift
+            result.best_theta, moving, max_shift=windows
         )
+        if check_window:
+            check_sweep_windows(result.best_theta, spatial, windows, "affine_register")
     return warped_best, result

@@ -100,7 +100,11 @@ class CascadeResult(NamedTuple):
 
 def _level_warp(theta, moving_level, exact: bool):
     if exact:
-        return warp_affine(theta, moving_level)
+        # Blocked exact resampler where theta is concrete (eager cascade);
+        # falls back to the element-gather path under tracing.
+        from ..ops.blocked import warp_affine_fast
+
+        return warp_affine_fast(theta, moving_level)
     # Full-transform re-warp: window must cover the whole displacement.
     S = max(moving_level.shape[2:])
     return warp_affine_separable(theta, moving_level, max_shift=max(8, S // 3))
@@ -130,6 +134,7 @@ def register_cascade(
     flow_dtype: str = "float32",
     level_decay: float = 2.0,
     flow_remat: bool = False,
+    flow_max_disp: int = 8,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -230,6 +235,7 @@ def register_cascade(
                 depth=flow_depth, optimizer=optimizer,
                 key=jax.random.key(seed), dtype=flow_dtype,
                 init_params=params, remat=flow_remat,
+                max_disp=flow_max_disp,
             )
             params = fres.params
             losses.append(fres.losses)
@@ -238,9 +244,15 @@ def register_cascade(
         if scale > 1:
             flow = upsample_flow(flow, warped.shape[2:])
         if final_warp == "exact":
-            warped = warp_flow(warped, flow)
+            from ..ops.blocked import warp_flow_fast
+
+            warped = warp_flow_fast(warped, flow)
         else:
-            warped = warp_flow_separable(warped, flow)
+            # The upsampled flow's magnitudes scale with the zoom — the final
+            # sweep window must too, or large displacements get zeroed.
+            warped = warp_flow_separable(
+                warped, flow, max_disp=flow_max_disp * scale
+            )
 
     return CascadeResult(
         warped=warped, theta=theta, flow=flow,

@@ -34,6 +34,65 @@ class RegistrationResult(NamedTuple):
     best_loss: jnp.ndarray
 
 
+def resolve_sweep_windows(
+    init_theta_np,
+    spatial,
+    max_shift,
+) -> tuple[int, ...] | int | None:
+    """Static per-pass sweep windows for a separable-method engine.
+
+    ``None`` (auto) takes the default ``max(8, S/4)`` per pass — which covers
+    the tanh-bounded translations plus rotations to ~0.25 rad — and *bumps* any
+    pass whose window the concrete init theta already requires more of
+    (+4 margin, capped at the axis size). This closes the silent-zero hole of
+    the reference-parity random init (angles up to 1 rad can displace volume
+    corners beyond S/4; ops/separable.py:24-27). Explicit ``max_shift`` wins.
+    """
+    if max_shift is not None:
+        return max_shift if isinstance(max_shift, int) else tuple(max_shift)
+    from ..ops.separable import required_windows
+
+    req = required_windows(init_theta_np, spatial)
+    # pass order (x, y[, z]) == reversed axis order, matching factor_passes
+    axes = list(range(len(spatial)))[::-1]
+    default = [max(8, -(-spatial[a] // 4)) for a in axes]
+    out = []
+    bumped = False
+    for d, r, a in zip(default, req, axes):
+        k = d if r + 2 <= d else min(int(spatial[a]), r + 4)
+        bumped |= k != d
+        out.append(k)
+    return tuple(out) if bumped else None  # None keeps the shared jit cache
+
+
+def check_sweep_windows(theta, spatial, used, label: str) -> None:
+    """Post-run guard: warn when a recovered theta needs a larger sweep window
+    than the engine optimized with (its support was partially zeroed —
+    re-run with ``max_shift``/``method='exact'`` or treat results as suspect).
+    """
+    import warnings
+
+    from ..ops.separable import required_windows
+
+    if isinstance(theta, jax.core.Tracer):
+        return  # under jit (e.g. make_cascade_fn) there is nothing to read
+    axes = list(range(len(spatial)))[::-1]
+    if used is None:
+        used = [max(8, -(-spatial[a] // 4)) for a in axes]
+    elif isinstance(used, int):
+        used = [used] * len(spatial)
+    req = required_windows(theta, spatial)
+    if any(r > u for r, u in zip(req, used)):
+        warnings.warn(
+            f"{label}: recovered transform needs sweep windows {req} but the "
+            f"engine used {list(used)}; displacements beyond the window "
+            "contribute zero (ops/separable.py:24-27). Pass a larger "
+            "max_shift or method='exact'.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
     """'sgd' (reference parity, warpings.py:58,131,192) or 'adam' (the
     north-star optimizer)."""

@@ -46,6 +46,7 @@ class FlowResult(NamedTuple):
     steps: jnp.ndarray  # number of optimizer steps executed
     converged: jnp.ndarray  # bool: stopped by stop_crit before max_epochs
     params: dict  # final U-Net parameters
+    max_disp: jnp.ndarray | None = None  # max |flow| over the field (scalar)
 
 
 @lru_cache(maxsize=32)
@@ -111,7 +112,7 @@ def _build_flow_fn(
         flow = predict_flow(params, moving)
         warped = warp(moving, flow)  # method-consistent final warp
         converged = last <= stop_crit
-        return flow, warped, losses, steps, converged, params
+        return flow, warped, losses, steps, converged, params, jnp.max(jnp.abs(flow))
 
     # Jitted param init: eager flax init dispatches hundreds of ops (very
     # costly over remote-device transports).
@@ -138,6 +139,7 @@ def flow_register(
     dtype: str = "float32",
     init_params=None,
     remat: bool = False,
+    check_disp: bool = True,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -145,6 +147,12 @@ def flow_register(
     images with ``warp_flow(x, result.flow)``. ``init_params`` warm-starts the
     U-Net — the weights are resolution-independent, so coarse-to-fine flow
     pyramids just continue optimizing the same parameters at finer levels.
+
+    ``max_disp`` statically bounds the default separable warp's sweep window
+    (the reference's exact ``F.grid_sample`` has no such bound —
+    warpings.py:178-242); with ``check_disp`` the recovered field is checked
+    against it post-run and a RuntimeWarning fires on overflow. Use
+    ``method='exact'`` or a larger ``max_disp`` for large-displacement pairs.
     """
     if grad_edges:
         moving = edge_filter(moving)
@@ -164,6 +172,23 @@ def flow_register(
     if key is None:
         key = jax.random.key(0)
     params0 = init_params if init_params is not None else init_fn(key, moving)
-    flow, warped, losses, steps, converged, params = run(moving, target, params0)
+    flow, warped, losses, steps, converged, params, maxd = run(
+        moving, target, params0
+    )
+    if check_disp and method == "separable" and not isinstance(maxd, jax.core.Tracer):
+        import warnings
+
+        maxd_host = float(jax.device_get(maxd))
+        if maxd_host > max_disp:
+            warnings.warn(
+                f"flow_register: recovered flow reaches {maxd_host:.1f} voxels "
+                f"but the separable sweep window is max_disp={max_disp}; "
+                "displacements beyond it contribute zero "
+                "(ops/separable.py:24-27). Raise max_disp or use "
+                "method='exact'.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return warped, FlowResult(flow=flow, losses=losses, steps=steps,
-                              converged=converged, params=params)
+                              converged=converged, params=params,
+                              max_disp=maxd)

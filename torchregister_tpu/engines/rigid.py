@@ -20,8 +20,14 @@ from ..losses import resolve_criteria, weighted_loss
 from ..ops.edge import edge_filter
 from ..ops.resample import warp_affine
 from ..ops.separable import warp_affine_separable
-from ..ops.transforms import rigid_theta
-from .common import RegistrationResult, make_optimizer, optimize_scan
+from ..ops.transforms import rigid_theta, rigid_theta_np
+from .common import (
+    RegistrationResult,
+    check_sweep_windows,
+    make_optimizer,
+    optimize_scan,
+    resolve_sweep_windows,
+)
 
 
 def init_rigid_params(ndim: int, key=None, init: str = "random") -> jnp.ndarray:
@@ -43,7 +49,7 @@ def _build_rigid_fn(
     optimizer: str,
     ndim: int,
     method: str = "separable",
-    max_shift: int | None = None,
+    max_shift: int | tuple | None = None,
 ):
     """One compiled program per (loss stack, lr, epochs, optimizer, ndim).
 
@@ -94,7 +100,8 @@ def rigid_register(
     key=None,
     init_params: jnp.ndarray | None = None,
     method: str = "separable",
-    max_shift: int | None = None,
+    max_shift=None,
+    check_window: bool = True,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a rigid transform.
 
@@ -102,22 +109,38 @@ def rigid_register(
     parity but unused — the reference's rigid engine also never uses it
     (warpings.py:117 takes it and ignores it). ``grad_edges=True`` runs both
     images through the Sobel band-pass mask first (warpings.py:118-121).
+
+    ``max_shift`` (int or per-pass sequence) bounds the separable sweep; by
+    default it is auto-bumped to cover the concrete init theta, and
+    ``check_window`` warns post-run if the recovered theta outgrew it.
     """
     if grad_edges:
         moving = edge_filter(moving)
         target = edge_filter(target)
     criteria, w = resolve_criteria(criterions, weights)
     ndim = moving.ndim - 2
+    spatial = moving.shape[2:]
     if init_params is None:
         init_params = init_rigid_params(ndim, key, init)
+    if method != "separable":
+        windows = None
+    elif max_shift is not None:
+        windows = max_shift if isinstance(max_shift, int) else tuple(max_shift)
+    elif isinstance(init_params, jax.core.Tracer):
+        windows = None  # traced init (cascade): keep the shared default
+    else:
+        windows = resolve_sweep_windows(rigid_theta_np(init_params), spatial, None)
     run = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
-                          optimizer, ndim, method,
-                          None if max_shift is None else int(max_shift))
+                          optimizer, ndim, method, windows)
     result = run(moving, target, init_params)
     if method == "exact":
-        warped_best = warp_affine(result.best_theta, moving)
+        from ..ops.blocked import warp_affine_fast
+
+        warped_best = warp_affine_fast(result.best_theta, moving)
     else:
         warped_best = warp_affine_separable(
-            result.best_theta, moving, max_shift=max_shift
+            result.best_theta, moving, max_shift=windows
         )
+        if check_window:
+            check_sweep_windows(result.best_theta, spatial, windows, "rigid_register")
     return warped_best, result

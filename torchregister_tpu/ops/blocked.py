@@ -1,0 +1,295 @@
+"""Blocked exact resampler — fast grid_sample-parity warps for user-facing calls.
+
+Why this exists: the one-shot exact warp (``ops/resample.py``) is a per-voxel
+8-corner gather, and XLA:TPU lowers per-element gathers to ~1.1e8 elem/s
+(~1 s per 240^3 warp, BASELINE.md resampler table). The optimization engines
+avoid it with the gather-free separable sweep (O(h^2) multi-pass
+approximation), but the *user-facing* final warp (``Register.__call__``, CLI
+``apply``, reference warpings.py:24-25 / utils.py:365 semantics) wants exact
+trilinear values. This module restructures the exact warp into a TPU-shaped
+program:
+
+1. Partition the output into ``TILE^3`` tiles. For each tile the
+   source support of all its trilinear stencils is a ``B^3`` block whose origin
+   is ``min(floor(q))`` over the tile (q = per-voxel source coordinates).
+2. Fetch all tile blocks with ONE ``lax.gather`` of ``(B,B,B)`` slices — a
+   slice-granular gather (27k DMA-friendly slices for 240^3) instead of 110M
+   element gathers. Measured ~5 GB/s vs ~0.4 GB/s element gathering.
+3. Reconstruct exact trilinear values by per-axis *hat-function contractions*
+   against absolute source positions:
+
+   ``out[v] = sum_{a,b,c} hat(qz[v]-za) hat(qy[v]-yb) hat(qx[v]-xc) blk[a,b,c]``
+
+   evaluated as three chained einsums (MXU work, ``precision='highest'`` —
+   the TPU default matmul precision is bf16 and would cost ~1e-2 error).
+   Each hat has exactly two nonzeros, so this reproduces the 8-corner formula
+   bit-for-bit up to f32 summation order.
+
+Zeros padding falls out for free: block origins are clamped into the volume
+and hats are evaluated against *absolute* in-volume positions, so any corner
+outside the volume simply has no support row in the block — identical to
+``grid_sample(padding_mode='zeros')`` (the reference's convention).
+
+The block size ``B`` must statically bound the per-tile support extent.
+``required_block_*`` derive it from a concrete theta / flow displacement
+bound; the eager wrappers do this automatically (one tiny host sync), while
+jit users pass ``block=`` explicitly. Where the blocked path doesn't apply
+(2D, tiny volumes, extreme transforms) the wrappers fall back to the exact
+element-gather path, never silently losing support.
+
+Measured on v5e at 240^3 f32: 76 ms (tile 10, B=14, 0.22-rad rotation) —
+vs 989 ms for the element-gather exact path (13x).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .separable import affine_to_index_map
+from .transforms import as_matrix
+
+TILE = 10  # output tile edge; best v5e balance of slice-gather latency
+# (fewer, larger slices) vs hat-contraction FLOPs (which grow as B^3):
+# measured 240^3 f32: tile 8 -> 97 ms, tile 10 -> 76 ms, tile 16 -> 103 ms
+_MAX_BLOCK = 48  # beyond this the blocked path loses to plain gather
+
+
+def required_block_affine(theta, spatial: Sequence[int], align_corners: bool = False) -> int:
+    """Smallest valid ``B`` for a *concrete* theta: the max per-axis source
+    extent of one output tile, ``ceil(TILE * max_axis sum_j |M[a,j]|) + 3``.
+
+    Pure-host numpy mirror of :func:`separable.affine_to_index_map`'s linear
+    block (eager device ops cost ~0.1-1 s each over remote transports)."""
+    theta = np.asarray(jax.device_get(theta), np.float64)
+    if theta.ndim == 3:
+        theta = theta[0]
+    if theta.ndim == 1 or theta.shape[0] == 1:
+        theta = theta.reshape(3, 4)
+    d = len(spatial)
+    sizes = np.asarray(spatial, np.float64)
+    A = theta[:, :d][::-1, ::-1]
+    if align_corners:
+        scale_out, scale_in = 2.0 / (sizes - 1.0), (sizes - 1.0) / 2.0
+    else:
+        scale_out, scale_in = 2.0 / sizes, sizes / 2.0
+    M = A * scale_in[:, None] * scale_out[None, :]
+    ext = (TILE - 1) * np.abs(M).sum(axis=1).max() + 3.0
+    return int(math.ceil(ext))
+
+
+def required_block_flow(max_disp: float) -> int:
+    """Valid ``B`` for a flow warp with ``max |flow| <= max_disp`` (worst-case
+    bound; :func:`flow_tile_extent` gives the much tighter smooth-flow one)."""
+    return int(TILE + 2 * math.ceil(float(max_disp)) + 3)
+
+
+@jax.jit
+def flow_tile_extent(flow: jnp.ndarray) -> jnp.ndarray:
+    """Max within-tile extent of the sample coordinates ``q = identity + flow``
+    over all TILE^3 output tiles — the tight block-size requirement.
+
+    Smooth (U-Net-regularized) flows have small within-tile ranges even at
+    large absolute displacement, since the block *origin* absorbs the
+    per-tile mean. One scalar; the eager wrapper reads it back once.
+    """
+    spatial = flow.shape[2:]
+    grids = [-(-s // TILE) for s in spatial]
+    ident = [
+        jnp.arange(spatial[i], dtype=flow.dtype).reshape(
+            tuple(spatial[i] if j == i else 1 for j in range(3))
+        )
+        for i in range(3)
+    ]
+    q = flow[0] + jnp.stack(jnp.broadcast_arrays(*ident))  # [3, *S]
+    pads = [(0, grids[i] * TILE - spatial[i]) for i in range(3)]
+    # edge-replicate so padding voxels never widen a tile's extent
+    qp = jnp.pad(q, [(0, 0)] + pads, mode="edge")
+    qt = qp.reshape(
+        3, grids[0], TILE, grids[1], TILE, grids[2], TILE
+    ).transpose(0, 1, 3, 5, 2, 4, 6).reshape(3, -1, TILE ** 3)
+    ext = jnp.max(qt, axis=-1) - jnp.min(qt, axis=-1)
+    return jnp.max(ext)
+
+
+def _hat_block_resample(vol, q, spatial, B: int, chunk: int):
+    """Exact multilinear resample of ``vol [C,*S]`` at coords ``q [T,V,d]``
+    (index space, tile-major), via slice-gather + hat contractions.
+
+    Returns ``[T, C, V]``. 3D only.
+    """
+    C = vol.shape[0]
+    sizes = jnp.asarray(spatial, jnp.int32)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2, 3),
+    )
+
+    def do_chunk(qc):  # [chunk, V, 3]
+        qf = jnp.floor(qc)
+        org = jnp.clip(jnp.min(qf, axis=1).astype(jnp.int32), 0, sizes - B)
+        blk = jax.lax.gather(
+            vol, org, dn, slice_sizes=(C, B, B, B),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # [chunk, C, B, B, B]
+        iota = jnp.arange(B, dtype=jnp.float32)
+        pos = org.astype(jnp.float32)[:, :, None] + iota  # [chunk, 3, B]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(qc[:, :, :, None] - pos[:, None]))
+        hi = jax.lax.Precision.HIGHEST
+        t1 = jnp.einsum("tva,tcabx->tcvbx", w[:, :, 0], blk, precision=hi)
+        t2 = jnp.einsum("tvb,tcvbx->tcvx", w[:, :, 1], t1, precision=hi)
+        return jnp.einsum("tvx,tcvx->tcv", w[:, :, 2], t2, precision=hi)
+
+    T = q.shape[0]
+    n_chunks = -(-T // chunk)
+    pad = n_chunks * chunk - T
+    qp = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(do_chunk, qp.reshape(n_chunks, chunk, -1, 3))
+    return out.reshape(n_chunks * chunk, C, -1)[:T]
+
+
+def _tile_grid(spatial):
+    """Tile origins ``[T,3]`` and local offsets ``[V,3]`` covering ``spatial``
+    (padded up to TILE multiples; callers slice the excess away)."""
+    grids = [-(-s // TILE) for s in spatial]
+    axes = [jnp.arange(g) * TILE for g in grids]
+    mesh = jnp.meshgrid(*axes, indexing="ij")
+    tile_org = jnp.stack([m.ravel() for m in mesh], -1)  # [T, 3]
+    l = jnp.arange(TILE)
+    lm = jnp.meshgrid(l, l, l, indexing="ij")
+    loc = jnp.stack([m.ravel() for m in lm], -1)  # [V, 3]
+    return grids, tile_org, loc
+
+
+def _untile(out_tcv, grids, spatial, C):
+    GZ, GY, GX = grids
+    out = out_tcv.reshape(GZ, GY, GX, C, TILE, TILE, TILE)
+    out = out.transpose(3, 0, 4, 1, 5, 2, 6).reshape(
+        C, GZ * TILE, GY * TILE, GX * TILE
+    )
+    return out[:, : spatial[0], : spatial[1], : spatial[2]]
+
+
+@partial(jax.jit, static_argnames=("align_corners", "block", "chunk"))
+def warp_affine_blocked(
+    theta: jnp.ndarray,
+    moving: jnp.ndarray,
+    align_corners: bool = False,
+    block: int = 16,
+    chunk: int = 432,
+) -> jnp.ndarray:
+    """Exact affine warp (grid_sample parity, reference warpings.py:18-26)
+    via the blocked resampler. 3D, batch 1.
+
+    ``block`` must be >= :func:`required_block_affine` for this theta or
+    support is silently truncated — use :func:`warp_affine_fast` (eager) to
+    have it derived and checked automatically.
+    """
+    theta = as_matrix(theta)
+    spatial = moving.shape[2:]
+    assert moving.shape[0] == 1 and len(spatial) == 3
+    M, t = affine_to_index_map(theta[0], spatial, align_corners)
+
+    grids, tile_org, loc = _tile_grid(spatial)
+    o = (tile_org[:, None, :] + loc[None]).astype(jnp.float32)  # [T, V, 3]
+    # Exact f32 coordinate math (3x3): explicit FMAs, no reduced-precision dot.
+    q = jnp.stack(
+        [
+            M[s, 0] * o[..., 0] + M[s, 1] * o[..., 1] + M[s, 2] * o[..., 2] + t[s]
+            for s in range(3)
+        ],
+        axis=-1,
+    )
+    out = _hat_block_resample(moving[0], q, spatial, block, chunk)
+    return _untile(out, grids, spatial, moving.shape[1])[None]
+
+
+@partial(jax.jit, static_argnames=("block", "chunk"))
+def warp_flow_blocked(
+    src: jnp.ndarray,
+    flow: jnp.ndarray,
+    block: int = 24,
+    chunk: int = 432,
+) -> jnp.ndarray:
+    """Exact dense-flow warp (reference utils.py:333-365 semantics) via the
+    blocked resampler. 3D, batch 1.
+
+    ``block`` must be >= :func:`required_block_flow` of the true ``max|flow|``
+    — use :func:`warp_flow_fast` (eager) for automatic derivation.
+    """
+    spatial = src.shape[2:]
+    assert src.shape[0] == 1 and len(spatial) == 3
+    grids, tile_org, loc = _tile_grid(spatial)
+    o = tile_org[:, None, :] + loc[None]  # [T, V, 3] int
+    # flow is [1, 3, *S] with channel i displacing axis i (voxel units)
+    Sp = [g * TILE for g in grids]
+    fpad = jnp.pad(
+        flow[0],
+        ((0, 0),) + tuple((0, Sp[i] - spatial[i]) for i in range(3)),
+    )
+    ftiles = fpad.reshape(
+        3, grids[0], TILE, grids[1], TILE, grids[2], TILE
+    ).transpose(1, 3, 5, 2, 4, 6, 0).reshape(-1, TILE ** 3, 3)
+    q = o.astype(jnp.float32) + ftiles
+    out = _hat_block_resample(src[0], q, spatial, block, chunk)
+    return _untile(out, grids, spatial, src.shape[1])[None]
+
+
+# ------------------------------------------------------------ eager wrappers
+
+
+def warp_affine_fast(theta, moving, align_corners: bool = False):
+    """Exact affine warp with automatic block sizing (eager; one host sync on
+    theta — 12 floats). Falls back to the element-gather path when the blocked
+    resampler doesn't apply (2D, batch>1, tiny volumes, huge transforms, or a
+    traced theta — block sizing needs concrete values)."""
+    from .resample import warp_affine
+
+    theta = as_matrix(jnp.asarray(theta))
+    spatial = moving.shape[2:]
+    if (
+        isinstance(theta, jax.core.Tracer)
+        or len(spatial) != 3
+        or theta.shape[0] != 1
+        or moving.shape[0] != 1
+        or min(spatial) < TILE
+    ):
+        return warp_affine(theta, moving, align_corners)
+    B = max(10, required_block_affine(theta, spatial, align_corners))
+    B += -B % 2
+    if B > min(_MAX_BLOCK, min(spatial)):
+        return warp_affine(theta, moving, align_corners)
+    return warp_affine_blocked(theta, moving, align_corners, block=B)
+
+
+def warp_flow_fast(src, flow, max_disp: float | None = None):
+    """Exact flow warp with automatic block sizing. The block requirement is
+    the tight per-tile coordinate extent (eager, one scalar readback);
+    ``max_disp`` instead uses the conservative ``TILE + 2*max_disp + 3`` bound
+    without touching the flow values (useful when a static bound is known)."""
+    from .resample import warp_flow
+
+    spatial = src.shape[2:]
+    if (
+        (max_disp is None and isinstance(flow, jax.core.Tracer))
+        or len(spatial) != 3
+        or src.shape[0] != 1
+        or min(spatial) < TILE
+    ):
+        return warp_flow(src, flow)
+    if max_disp is not None:
+        B = required_block_flow(max_disp)
+    else:
+        ext = float(jax.device_get(flow_tile_extent(flow)))
+        if not math.isfinite(ext):
+            return warp_flow(src, flow)
+        B = int(math.ceil(ext)) + 3
+    B += -B % 2
+    if B > min(_MAX_BLOCK, min(spatial)):
+        return warp_flow(src, flow)
+    return warp_flow_blocked(src, flow, block=B)

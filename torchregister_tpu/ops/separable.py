@@ -129,6 +129,84 @@ def factor_passes(M: jnp.ndarray, t: jnp.ndarray):
     raise ValueError(f"only 2D/3D supported, got d={d}")
 
 
+# -------------------------------------------------------- window requirements
+
+
+def _index_map_np(theta: np.ndarray, spatial, align_corners: bool):
+    """Host (numpy) mirror of :func:`affine_to_index_map` — window sizing must
+    not dispatch eager device ops (0.1-1 s each over remote transports)."""
+    d = len(spatial)
+    sizes = np.asarray(spatial, np.float64)
+    A = np.asarray(theta, np.float64)[:, :d][::-1, ::-1]
+    b = np.asarray(theta, np.float64)[:, d][::-1]
+    if align_corners:
+        scale_out = 2.0 / (sizes - 1.0)
+        off_out = -np.ones_like(sizes)
+        scale_in = (sizes - 1.0) / 2.0
+        off_in = (sizes - 1.0) / 2.0
+    else:
+        scale_out = 2.0 / sizes
+        off_out = 1.0 / sizes - 1.0
+        scale_in = sizes / 2.0
+        off_in = sizes / 2.0 - 0.5
+    M = A * scale_in[:, None] * scale_out[None, :]
+    t = scale_in * (A @ off_out + b) + off_in
+    return M, t
+
+
+def _factor_passes_np(M: np.ndarray, t: np.ndarray):
+    """Host mirror of :func:`factor_passes` (same elimination order)."""
+    d = M.shape[0]
+    if d == 2:
+        g = (M[0].copy(), float(t[0]))
+        e0 = M[1, 0] / M[0, 0]
+        e = (np.array([e0, M[1, 1] - e0 * M[0, 1]]), float(t[1] - e0 * t[0]))
+        return [(1, e), (0, g)]
+    g = (M[0].copy(), float(t[0]))
+    f0 = M[1, 0] / M[0, 0]
+    f = (
+        np.array([f0, M[1, 1] - f0 * M[0, 1], M[1, 2] - f0 * M[0, 2]]),
+        float(t[1] - f0 * t[0]),
+    )
+    det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    e0 = (M[2, 0] * M[1, 1] - M[2, 1] * M[1, 0]) / det
+    e1 = (M[2, 1] * M[0, 0] - M[2, 0] * M[0, 1]) / det
+    e = (
+        np.array([e0, e1, M[2, 2] - e0 * M[0, 2] - e1 * M[1, 2]]),
+        float(t[2] - e0 * t[0] - e1 * t[1]),
+    )
+    return [(2, e), (1, f), (0, g)]
+
+
+def required_windows(theta, spatial, align_corners: bool = False) -> tuple[int, ...]:
+    """Per-pass sweep windows needed so a *concrete* theta loses no support.
+
+    For pass ``k`` on axis ``a`` sampling at ``q = coef . o + offset``, the
+    sweep (``sweep_resample_axis``) zeroes any contribution with
+    ``|floor(q) - o_a|`` outside ``[-K, K+1]``; the required ``K`` is the max
+    of ``|q - o_a|`` over the output box (interval arithmetic on the pass
+    coefficients). Pure-host numpy; callers feed init/recovered thetas.
+    """
+    theta = np.asarray(jax.device_get(theta), np.float64)
+    if theta.ndim == 3:
+        theta = theta[0]
+    d = len(spatial)
+    if theta.ndim == 1:
+        theta = theta.reshape(d, d + 1)
+    M, t = _index_map_np(theta, spatial, align_corners)
+    out = []
+    for axis, (coef, offset) in _factor_passes_np(M, t):
+        disp = np.asarray(coef, np.float64).copy()
+        disp[axis] -= 1.0
+        lo = hi = offset
+        for b in range(d):
+            ext = disp[b] * (spatial[b] - 1)
+            lo += min(0.0, ext)
+            hi += max(0.0, ext)
+        out.append(int(np.ceil(max(abs(lo), abs(hi)))))
+    return tuple(out)
+
+
 # -------------------------------------------------------------------- sweeps
 
 _UNROLL_LIMIT = 40  # unrolled sweeps fuse into one XLA kernel; larger loops

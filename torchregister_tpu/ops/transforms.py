@@ -65,6 +65,30 @@ def rigid_theta(params: jnp.ndarray, max_translate: float = 0.25) -> jnp.ndarray
     raise ValueError(f"rigid params must have 3 or 6 elements, got {params.shape}")
 
 
+def rigid_theta_np(params, max_translate: float = 0.25):
+    """Host (numpy) mirror of :func:`rigid_theta` for window sizing — avoids
+    eager device dispatches (0.1-1 s each over remote transports)."""
+    import numpy as np
+
+    p = np.asarray(jax.device_get(params), np.float64)
+    if p.shape[-1] == 3:
+        th, t0, t1 = p
+        s, c = np.sin(th), np.cos(th)
+        return np.array([[c, -s, t0], [s, c, t1]])
+    psi, th, phi = p[0], p[1], p[2]
+    sp, cp = np.sin(psi), np.cos(psi)
+    st, ct = np.sin(th), np.cos(th)
+    sf, cf = np.sin(phi), np.cos(phi)
+    t = max_translate * np.tanh(p[3:6])
+    return np.array(
+        [
+            [cp * ct, sf * sp * ct - cf * st, cf * sp * ct + sf * st, t[0]],
+            [cp * st, sf * sp * st + cf * ct, cf * sp * st - sf * ct, t[1]],
+            [-sp, sf * cp, cf * cp, t[2]],
+        ]
+    )
+
+
 def identity_theta(ndim: int, dtype=jnp.float32) -> jnp.ndarray:
     """Identity affine matrix ``[ndim, ndim+1]`` (the reference's affine init,
     warpings.py:47-48,54-55)."""
@@ -83,16 +107,15 @@ def as_matrix(theta: jnp.ndarray) -> jnp.ndarray:
     if theta.ndim == 1:
         theta = theta[None]
     if theta.ndim == 2:
-        if theta.shape[-1] == 6 and theta.shape[0] == 1:
-            theta = theta.reshape(1, 2, 3)
-        elif theta.shape[-1] == 12:
-            theta = theta.reshape(1, 3, 4)
-        elif theta.shape[-1] == 6 and theta.shape[0] == 2:  # [2,3] unbatched matrix
+        n, m = theta.shape
+        if (n, m) in ((2, 3), (3, 4)):  # unbatched [d, d+1] matrix
             theta = theta[None]
+        elif m == 6:  # [N, 6] flat 2D thetas (N==2 is a flat batch, not [2,3])
+            theta = theta.reshape(n, 2, 3)
+        elif m == 12:  # [N, 12] flat 3D thetas
+            theta = theta.reshape(n, 3, 4)
         else:
-            theta = theta[None]  # [d, d+1] unbatched matrix
-    if theta.ndim == 2:
-        theta = theta[None]
+            raise ValueError(f"cannot interpret theta of shape {theta.shape}")
     return theta
 
 

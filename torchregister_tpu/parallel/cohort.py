@@ -53,9 +53,13 @@ def register_cohort(
     B = movings.shape[0]
     ndim = movings.ndim - 2
 
-    if grad_edges and mode in ("rigid", "affine"):
-        movings = edge_filter(movings)
-        targets = edge_filter(targets)
+    if grad_edges:
+        # Per-sample vmap: edge_filter's min-max normalization and thresholds
+        # are global over its input, so filtering the whole batch at once
+        # would couple samples and diverge from per-pair registration.
+        _ef = jax.jit(jax.vmap(lambda v: edge_filter(v[None])[0]))
+        movings = _ef(movings)
+        targets = _ef(targets)
 
     criteria, w = resolve_criteria(criterions, weights)
     key = jax.random.key(seed)
@@ -112,7 +116,7 @@ def register_cohort(
     else:
         out = batched(movings, targets, params0)
     if mode == "flow":
-        flow, _warped, losses, steps, converged, params = out
+        flow, _warped, losses, steps, converged, params, maxd = out
         return FlowResult(flow=flow, losses=losses, steps=steps,
-                          converged=converged, params=params)
+                          converged=converged, params=params, max_disp=maxd)
     return out

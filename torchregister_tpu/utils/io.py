@@ -43,8 +43,26 @@ def save_transform(path: str, register) -> None:
 
 
 def load_transform(path: str, register) -> None:
-    """Restore a transform saved with :func:`save_transform` into ``register``."""
+    """Restore a transform saved with :func:`save_transform` into ``register``.
+
+    The saved ``mode`` must be compatible with ``register.mode``: a flow field
+    loaded into a rigid/affine ``Register`` (or vice versa) would silently be
+    misapplied through the wrong warp (``Register.__call__`` dispatches on
+    ``register.mode``), so that raises instead. rigid<->affine interchange is
+    fine — both store a ``[1, d, d+1]`` matrix applied identically.
+    """
     tree = load_pytree(path)
     import jax.numpy as jnp
 
+    saved_mode = str(tree.get("mode", ""))
+    matrixish = ("rigid", "affine")
+    compatible = saved_mode == register.mode or (
+        saved_mode in matrixish and register.mode in matrixish
+    )
+    if saved_mode and not compatible:
+        raise ValueError(
+            f"{path} stores a {saved_mode!r} transform; this Register is "
+            f"mode={register.mode!r} and would misapply it. Construct "
+            f"Register(mode={saved_mode!r}) to load it."
+        )
     register.theta = jnp.asarray(tree["theta"])

@@ -92,8 +92,9 @@ def _np_read_nifti(path: str) -> np.ndarray:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
     n = int(np.prod(shape))
     data = np.frombuffer(raw, dt, count=n, offset=vox_offset).astype(np.float32)
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        data = data * (slope or 1.0) + inter
+    # NIfTI-1 spec: scl_slope == 0 means "no scaling" (scl_inter ignored too)
+    if slope != 0.0 and (slope != 1.0 or inter != 0.0):
+        data = data * slope + inter
     # NIfTI stores fastest-varying first: shape is (x, y, z, ...) in file
     # order, so reshape in Fortran order to get [x, y, z] array indexing.
     return data.reshape(shape, order="F")
