@@ -101,6 +101,56 @@ def test_spatially_sharded_warp_matches_unsharded():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_cohort_hlo_has_zero_collectives():
+    """Pairs are independent: the batch-sharded cohort program must contain NO
+    cross-device collectives (all-reduce/all-gather/permute/reduce-scatter) —
+    throughput then scales linearly over ICI by construction (SURVEY §2)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from torchregister_tpu.engines.rigid import _build_rigid_fn
+    from torchregister_tpu.losses.similarity import mse
+
+    mesh = make_mesh((8,), ("data",))
+    run = _build_rigid_fn((mse,), (1.0,), 1e-3, 3, "adam", 2)
+
+    def batched(movs, tgts, p0):
+        return jax.vmap(lambda m, t, p: run(m[None], t[None], p))(movs, tgts, p0)
+
+    sh = batch_sharding(mesh)
+    movings = jax.device_put(_blobs(8, (16, 16), seed=20), sh)
+    targets = jax.device_put(_blobs(8, (16, 16), seed=21), sh)
+    p0 = jax.device_put(jnp.zeros((8, 3), jnp.float32), sh)
+    compiled = jax.jit(batched).lower(movings, targets, p0).compile()
+    hlo = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute", "reduce-scatter"):
+        assert op not in hlo, f"unexpected collective {op} in cohort HLO"
+
+
+def test_spatially_sharded_warp_has_halo_collectives():
+    """Counterpart: sharding a volume across a *spatial* axis forces GSPMD to
+    exchange halos for the sweep's shifts — the compiled HLO must contain
+    collectives. Together with the zero-collective cohort test this pins that
+    the sharding layout, not luck, determines the comm pattern."""
+    from torchregister_tpu.ops.separable import warp_affine_separable
+    from torchregister_tpu.parallel.mesh import volume_sharding
+
+    mesh = make_mesh((8,), ("space",))
+    sh = volume_sharding(mesh, spatial_axis=0, mesh_axis="space", ndim=3)
+    vol = jax.device_put(_blobs(1, (32, 32, 32), seed=22), sh)
+    theta = rigid_theta(jnp.asarray([0.05, -0.04, 0.03, 0.1, -0.1, 0.05],
+                                    jnp.float32))[None]
+    compiled = (
+        jax.jit(lambda t, v: warp_affine_separable(t, v, max_shift=8))
+        .lower(theta, vol)
+        .compile()
+    )
+    hlo = compiled.as_text()
+    assert any(
+        op in hlo
+        for op in ("collective-permute", "all-gather", "all-to-all")
+    ), "expected halo-exchange collectives in spatially-sharded warp HLO"
+
+
 def test_cohort_grad_edges_per_sample():
     """edge_filter's min-max normalization is global over its input; cohort
     filtering must be per-sample or samples couple (ADVICE r1). A batch where

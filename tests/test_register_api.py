@@ -124,3 +124,45 @@ def test_debug_flag_prints_summary(capsys):
     reg.optim(moving, moving, lr=1e-6, max_epochs=2)
     captured = capsys.readouterr()
     assert "loss" in captured.out
+    # reference-parity epochs/10 observability: per-decile epoch lines with
+    # the raw parameter trajectory (warpings.py:95-102,135-136,161-169)
+    assert "epoch" in captured.out
+    assert "params" in captured.out
+
+
+def test_debug_flow_convergence_message(capsys):
+    moving = _blob((16, 16), seed=9)
+    reg = tr.Register(mode="flow", criterion=["mse"], debug=True)
+    reg.optim(moving, moving, lr=1e-4, max_epochs=2, n=32)
+    captured = capsys.readouterr()
+    assert "converge" in captured.out  # warpings.py:231-236 analog
+
+
+def test_param_history_carried():
+    moving = _blob((16, 16), seed=10)
+    reg = tr.Register(mode="rigid", criterion=["mse"], init="identity")
+    reg.optim(moving, moving, lr=1e-4, max_epochs=5)
+    hist = np.asarray(reg.result.param_history)
+    assert hist.shape == (5, 3)  # 2D rigid: [theta, t0, t1] per epoch
+    np.testing.assert_allclose(hist[0], 0.0, atol=1e-7)  # identity init
+
+
+def test_nmi_checkified_guard():
+    from torchregister_tpu.losses.nmi import nmi_loss_checkified
+
+    good = _blob((24, 24), seed=11)
+    err, loss = nmi_loss_checkified(good, good, patch_size=8, bins=32)
+    err.throw()  # no error on finite inputs
+    assert np.isfinite(float(loss))
+    bad = good.at[0, 0, 0, 0].set(jnp.nan)
+    err, _ = nmi_loss_checkified(bad, good, patch_size=8, bins=32)
+    with pytest.raises(Exception, match="non-finite"):
+        err.throw()
+
+
+def test_debug_preflight_raises_on_nan_input_with_nmi():
+    moving = _blob((24, 24), seed=12)
+    bad = moving.at[0, 0, 0, 0].set(jnp.nan)
+    reg = tr.Register(mode="rigid", criterion=None, debug=True, init="identity")
+    with pytest.raises(Exception, match="non-finite"):
+        reg.optim(bad, moving, lr=1e-5, max_epochs=1)

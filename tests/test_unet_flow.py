@@ -91,6 +91,26 @@ def test_unet_3d_shapes_and_warp():
     assert np.isfinite(np.asarray(warped)).all()
 
 
+def test_unet_out_att_returns_gate_maps():
+    """Reference ``forward(x, device, out_att)`` analog (utils.py:522 — dead
+    there, live here): the gate weight maps come out coarsest-first, one per
+    decoder level, each spatially matching its skip tensor."""
+    model = AttentionUNet(ndim=2, n=32, depth=2)
+    x = jnp.zeros((1, 1, 48, 40))
+    params = model.init(jax.random.key(0), x)["params"]
+    flow, atts = model.apply({"params": params}, x, out_att=True)
+    assert flow.shape == (1, 2, 48, 40)
+    assert len(atts) == 2
+    for att in atts:
+        assert att.ndim == 3  # [N, *s] — squeezed single-channel maps
+        a = np.asarray(att)
+        assert np.isfinite(a).all()
+        assert (a >= 0).all() and (a <= 1).all()  # sigmoid gate weights
+    # default call unchanged
+    flow2 = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(flow2), np.asarray(flow))
+
+
 def test_unet_gradients_flow():
     model = AttentionUNet(ndim=2, n=32, depth=2)
     x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 1, 32, 32)), jnp.float32)

@@ -88,3 +88,26 @@ def test_int16_nifti_with_scaling(tmp_path):
     expected = data.astype(np.float32) * 2 + 10
     np.testing.assert_allclose(volio.read_volume(p), expected)
     np.testing.assert_allclose(volio._np_read_nifti(p), expected)
+
+
+def test_scl_slope_zero_means_unscaled(tmp_path):
+    # NIfTI-1 spec: scl_slope == 0 means "no scaling at all" — a stale
+    # nonzero scl_inter must NOT shift intensities (ADVICE r1).
+    import struct
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, 2, 3, 4, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, 4)  # int16
+    struct.pack_into("<h", hdr, 72, 16)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    struct.pack_into("<2f", hdr, 112, 0.0, 5.0)  # slope 0, stale inter 5
+    hdr[344:348] = b"n+1\x00"
+    p = str(tmp_path / "s0.nii")
+    with open(p, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4)
+        f.write(np.asfortranarray(data).tobytes(order="F"))
+    expected = data.astype(np.float32)  # unscaled, unshifted
+    np.testing.assert_allclose(volio.read_volume(p), expected)
+    np.testing.assert_allclose(volio._np_read_nifti(p), expected)

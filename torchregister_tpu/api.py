@@ -133,6 +133,8 @@ class Register:
         """
         moving = self._put(moving)
         target = self._put(target)
+        if self.debug:
+            self._preflight(moving, target)
         with jax.default_device(self.device) if self.device else _nullcontext():
             if self.mode == "flow":
                 _, res = flow_register(
@@ -188,15 +190,58 @@ class Register:
             x = jax.device_put(x, self.device)
         return x
 
+    def _preflight(self, moving, target):
+        """Debug-mode numerics pre-flight (SURVEY §5): when the criterion
+        stack includes the KDE-NMI loss, evaluate it once checkified on the
+        actual inputs so a non-finite log2/KDE stage raises with a named
+        error instead of silently NaN-ing the whole optimization. One-shot:
+        the hot loop stays uninstrumented."""
+        from .losses import resolve_criteria
+        from .losses.nmi import nmi_loss, nmi_loss_checkified
+
+        crits, _ = resolve_criteria(self.criterion, self.weight)
+        if any(getattr(c, "func", c) is nmi_loss for c in crits):
+            err, _ = nmi_loss_checkified(moving, target)
+            err.throw()
+
     def _report(self):
-        losses = np.asarray(self.losses)
-        losses = losses[np.isfinite(losses)]
+        """Debug report — the reference's in-loop observability, post-hoc.
+
+        The reference plots the loss every ``epochs/10`` and prints the
+        intermediate rigid parameters during the loop (warpings.py:95-102,
+        135-136,161-169) and announces flow convergence (warpings.py:222-236).
+        Host syncs inside a TPU loop are the enemy, so the engines carry the
+        loss and parameter trajectories device-side and this renders the same
+        information content afterwards.
+        """
+        raw = np.asarray(self.losses)
+        losses = raw[np.isfinite(raw)]
         if losses.size:
             print(
                 f"[torchregister-tpu] mode={self.mode} epochs={losses.size} "
                 f"loss first={losses[0]:.6g} last={losses[-1]:.6g} "
                 f"best={losses.min():.6g}"
             )
+            nan_at = np.flatnonzero(~np.isfinite(raw[: losses.size]))
+            if nan_at.size:
+                print(f"  WARNING: non-finite loss first at epoch {nan_at[0]}")
+            hist = getattr(self.result, "param_history", None)
+            marks = sorted({*np.linspace(0, losses.size - 1, 11).astype(int)})
+            hist_np = None if hist is None else np.asarray(hist)
+            for e in marks:
+                line = f"  epoch {e:>6d}  loss {losses[e]:.6g}"
+                if hist_np is not None:
+                    line += "  params " + np.array2string(
+                        hist_np[e], precision=4, separator=", "
+                    )
+                print(line)
+        if self.mode == "flow" and self.result is not None:
+            steps = int(self.result.steps)
+            if bool(self.result.converged):
+                # reference warpings.py:231-236 convergence message
+                print(f"  flow converged at epoch {steps} (loss <= stop_crit)")
+            else:
+                print(f"  flow did not converge within {steps} epochs")
         try:  # optional loss-curve plot, parity with the reference debug flag
             from matplotlib import pyplot as plt
 

@@ -57,7 +57,7 @@ def _build_affine_fn(
             warped = warp(theta, moving)
             return loss(target, warped)
 
-        final_params, best_params, best_loss, losses = optimize_scan(
+        final_params, best_params, best_loss, losses, hist = optimize_scan(
             loss_fn, params0, tx, epochs
         )
         return RegistrationResult(
@@ -67,6 +67,7 @@ def _build_affine_fn(
             best_params=best_params,
             losses=losses,
             best_loss=best_loss,
+            param_history=hist,
         )
 
     return jax.jit(run)

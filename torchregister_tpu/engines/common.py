@@ -32,6 +32,11 @@ class RegistrationResult(NamedTuple):
     best_params: Any
     losses: jnp.ndarray
     best_loss: jnp.ndarray
+    # Per-epoch raw parameter trajectory [epochs, n_params] — a few floats per
+    # step, carried device-side so debug reporting can reproduce the
+    # reference's in-loop parameter prints (warpings.py:135-136,161-169)
+    # post-hoc with zero host syncs in the loop.
+    param_history: Any = None
 
 
 def resolve_sweep_windows(
@@ -112,9 +117,11 @@ def optimize_scan(
 ):
     """Run ``epochs`` optimizer steps of ``loss_fn`` under ``lax.scan``.
 
-    Returns ``(final_params, best_params, best_loss, losses)``. Best-tracking
-    matches the reference (warpings.py:85-93): the *pre-update* parameters of
-    the lowest-loss step win (strict ``<``; first step initializes).
+    Returns ``(final_params, best_params, best_loss, losses, param_history)``.
+    Best-tracking matches the reference (warpings.py:85-93): the *pre-update*
+    parameters of the lowest-loss step win (strict ``<``; first step
+    initializes). ``param_history`` stacks the pre-update params per epoch
+    (rigid/affine params are a handful of floats — negligible).
     """
     opt_state0 = tx.init(params0)
     grad_fn = jax.value_and_grad(loss_fn)
@@ -129,10 +136,10 @@ def optimize_scan(
             lambda b, p: jnp.where(better, p, b), best_params, params
         )
         best_loss = jnp.where(better, loss_val, best_loss)
-        return (new_params, opt_state, best_loss, best_params), loss_val
+        return (new_params, opt_state, best_loss, best_params), (loss_val, params)
 
     init = (params0, opt_state0, jnp.asarray(jnp.inf, jnp.float32), params0)
-    (final_params, _, best_loss, best_params), losses = jax.lax.scan(
+    (final_params, _, best_loss, best_params), (losses, param_hist) = jax.lax.scan(
         step, init, None, length=epochs
     )
-    return final_params, best_params, best_loss, losses
+    return final_params, best_params, best_loss, losses, param_hist

@@ -71,7 +71,7 @@ def _build_rigid_fn(
             warped = warp(theta, moving)
             return loss(target, warped)
 
-        final_params, best_params, best_loss, losses = optimize_scan(
+        final_params, best_params, best_loss, losses, hist = optimize_scan(
             loss_fn, params0, tx, epochs
         )
         return RegistrationResult(
@@ -81,6 +81,7 @@ def _build_rigid_fn(
             best_params=best_params,
             losses=losses,
             best_loss=best_loss,
+            param_history=hist,
         )
 
     return jax.jit(run)

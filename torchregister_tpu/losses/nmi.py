@@ -137,3 +137,31 @@ def nmi_loss(
 
     n, _ = nmi(prep(y), prep(yp), bins=bins, bandwidth=bandwidth)
     return jnp.mean(jnp.abs(n - 1.0)) * alpha
+
+
+def nmi_loss_checkified(y: jnp.ndarray, yp: jnp.ndarray, **kw):
+    """Checkify-instrumented NMI loss — the SURVEY §5 numerics hot spot guard.
+
+    The KDE/log2 path can silently go non-finite (all-constant inputs collapse
+    the histogram range; extreme intensities overflow the kernel). This
+    variant raises a checkify error naming the failing stage instead of
+    propagating NaN into the optimizer. Used by ``Register.optim(debug=True)``
+    as a one-shot pre-flight on the actual inputs — the hot loop stays
+    uninstrumented (checkify inserts per-op guards XLA cannot elide).
+
+    Returns ``(err, loss)``; call ``err.throw()`` to surface failures.
+    """
+    from jax.experimental import checkify
+
+    def checked(y_, yp_):
+        checkify.check(
+            jnp.all(jnp.isfinite(y_)) & jnp.all(jnp.isfinite(yp_)),
+            "non-finite input to NMI",
+        )
+        loss = nmi_loss(y_, yp_, **kw)
+        checkify.check(
+            jnp.isfinite(loss), "NMI loss is non-finite (KDE/log2 stage)"
+        )
+        return loss
+
+    return checkify.checkify(checked)(y, yp)

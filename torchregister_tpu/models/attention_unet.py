@@ -296,10 +296,15 @@ class AttentionUNet(nn.Module):
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_att: bool = False):
+        """``out_att=True`` additionally returns the decoder attention-gate
+        weight maps (coarsest-first tuple of ``[N, *s]`` arrays) — the analog
+        of the reference's dead ``forward(..., out_att)`` flag (utils.py:522,
+        never exercised there; live here)."""
         chans = level_channels(self.depth, self.n)
         in_spatial = x.shape[2:]
         x = x.astype(self.dtype)
+        atts = []
 
         skips = []
         y = x
@@ -318,8 +323,9 @@ class AttentionUNet(nn.Module):
 
         for j in range(self.depth - 1, -1, -1):
             if self.use_attention:
-                gated, _ = AttentionGate(chans[j], self.ndim, dtype=self.dtype,
-                                         name=f"skip{j+1}")(skips[j], y)
+                gated, att = AttentionGate(chans[j], self.ndim, dtype=self.dtype,
+                                           name=f"skip{j+1}")(skips[j], y)
+                atts.append(att)
             else:
                 gated = skips[j]
             y = pad_spatial(y, gated.shape[2:], first_axis=2)
@@ -342,4 +348,6 @@ class AttentionUNet(nn.Module):
         flow = _contract_1x1(y.astype(jnp.float32), w_out) + b_out.reshape(
             (1, self.ndim) + (1,) * self.ndim
         )
+        if out_att:
+            return flow, tuple(atts)
         return flow
