@@ -23,6 +23,24 @@ def test_pallas_sweep_matches_xla_sweep():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_sweep_window_edge_semantics():
+    """Displacements at exactly k = ±(K+1) get half-support (floor-only /
+    ceil-only) in the canonical sweep; the kernel must match. Regression for
+    a compiled-kernel bug caught by the bench selftest in round 2 (the kernel
+    gave k=K+1 full lerp support and k=-(K+1) none)."""
+    K = 8
+    R, X = 16, 96
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.normal(size=(R, X)).astype(np.float32))
+    base = np.arange(X, dtype=np.float32)[None]
+    # integer-plus-fraction displacements pinned to the window edges
+    disp = rng.choice([-(K + 1), -K, K, K + 1], size=(R, X)).astype(np.float32)
+    q = jnp.asarray(base + disp + rng.uniform(0.1, 0.9, size=(R, X)).astype(np.float32))
+    out = np.asarray(sweep_lastaxis(src, q, K))
+    ref = np.asarray(_sweep_fori(src[None, None], q[None, None], 1, K))[0, 0]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_sweep_zero_fill_out_of_range():
     src, _ = _case(R=8, X=32, seed=1)
     q = jnp.full((8, 32), -100.0)  # all out of range

@@ -111,6 +111,40 @@ def test_affine_matches_reference_trajectory(ref_warpings):
     np.testing.assert_allclose(ours_best, ref_best, atol=2e-3)
 
 
+def test_rigid_default_separable_path_matches_reference(ref_warpings):
+    """Round-2 verdict #3: gate the DEFAULT engine path (method='separable')
+    head-to-head too, not just method='exact'. The sweep is an O(h^2)
+    approximation of grid_sample, so the trajectories drift slightly — the
+    recovered transform must still match the reference's within a small
+    multiple of that interpolation tolerance."""
+    import torch
+    import jax.numpy as jnp
+
+    from torchregister_tpu.engines.rigid import rigid_register
+
+    moving, target = _pair_torch((32, 32), seed=0)
+    lr, epochs = 5e-3, 60
+
+    torch.manual_seed(7)
+    init = torch.rand(3).numpy()
+    torch.manual_seed(7)
+    _, thetas = ref_warpings.rigid_register(
+        moving, target, lr=lr, epochs=epochs, debug=False, grad_edges=False,
+        criterions=[torch.nn.MSELoss()],
+    )
+    ref_best = thetas[1].detach().numpy().reshape(2, 3)
+
+    _, res = rigid_register(
+        jnp.asarray(moving.numpy()), jnp.asarray(target.numpy()),
+        lr=lr, epochs=epochs, criterions=["mse"], weights=[1.0],
+        grad_edges=False, optimizer="sgd",  # method defaults to 'separable'
+        init_params=jnp.asarray(init),
+    )
+    ours_best = np.asarray(res.best_theta[0])
+
+    np.testing.assert_allclose(ours_best, ref_best, atol=2e-2)
+
+
 def test_warped_volume_matches_reference_within_interp_tolerance(ref_warpings):
     """Applying the same theta through both stacks gives the same image."""
     import torch

@@ -59,16 +59,24 @@ def _fwd_kernel(q_ref, src_ref, out_ref, diff_ref, *, K: int, X: int):
         base = a * 8 - K  # shift of sub-offset 0 this round
         for b in range(8):
             s = (base + b).astype(jnp.float32)
-            valid = (a * 8 + b) < n_terms
+            idx = a * 8 + b
             # One mask per term: the ceil value for floor-index k sits one
             # lane over, so a second static slice replaces the second mask.
-            m = jnp.where((k == s) & valid, 1.0, 0.0)
+            m = jnp.where((k == s) & (idx < n_terms), 1.0, 0.0)
             floor_v = floor_v + cur[:, 1 + b : 1 + b + X] * m
-            ceil_v = ceil_v + cur[:, 2 + b : 2 + b + X] * m
+            # Window-edge semantics (must match the unrolled/fori oracle):
+            # k = K+1 (the last term) has floor support only — its ceil
+            # neighbor is outside the window.
+            mc = jnp.where((k == s) & (idx < n_terms - 1), 1.0, 0.0)
+            ceil_v = ceil_v + cur[:, 2 + b : 2 + b + X] * mc
         return floor_v, ceil_v, pltpu.roll(cur, P - 8, 1)
 
+    cur0 = src_ref[:]
+    # k = -(K+1) has ceil support only: f * src[o-K] (= padded[o+1], the
+    # same slice the first floor term reads).
+    ceil0 = cur0[:, 1 : 1 + X] * jnp.where(k == -(K + 1.0), 1.0, 0.0)
     floor_v, ceil_v, _ = jax.lax.fori_loop(
-        0, n_outer, outer, (zeros, zeros, src_ref[:])
+        0, n_outer, outer, (zeros, ceil0, cur0)
     )
     out_ref[:] = floor_v * (1.0 - fr) + ceil_v * fr
     diff_ref[:] = ceil_v - floor_v
