@@ -15,6 +15,7 @@ Public surface parity (reference README.md:20-94):
     field = tr.norm(abs(warping.theta))
 """
 from .api import Register, norm
+from .config import AffineConfig, CascadeConfig, FlowConfig, RigidConfig
 from .engines import (
     FlowResult,
     RegistrationResult,
@@ -35,6 +36,10 @@ __version__ = "0.1.0"
 __all__ = [
     "Register",
     "norm",
+    "RigidConfig",
+    "AffineConfig",
+    "FlowConfig",
+    "CascadeConfig",
     "rigid_register",
     "affine_register",
     "flow_register",

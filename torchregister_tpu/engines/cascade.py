@@ -135,6 +135,7 @@ def register_cascade(
     level_decay: float = 2.0,
     flow_remat: bool = False,
     flow_max_disp: int = 8,
+    matrix_dtype: str = "float32",
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -152,6 +153,13 @@ def register_cascade(
 
     mov_pyr = build_pyramid(moving, levels)
     tgt_pyr = build_pyramid(target, levels)
+    if matrix_dtype != "float32":
+        # bf16 matrix-stage compute: halves the sweep's HBM traffic. Theta
+        # params/updates stay f32 (optimizer state + coordinate math); only
+        # the image FMAs and loss reductions run reduced.
+        mdt = jnp.dtype(matrix_dtype)
+        mov_pyr = [m.astype(mdt) for m in mov_pyr]
+        tgt_pyr = [t.astype(mdt) for t in tgt_pyr]
 
     theta = identity_theta(ndim)[None]
     rigid_losses = affine_losses = flow_losses = None

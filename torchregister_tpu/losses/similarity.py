@@ -22,16 +22,20 @@ EPSILON = 1e-10
 
 
 def mse(y: jnp.ndarray, yp: jnp.ndarray) -> jnp.ndarray:
-    d = y - yp
+    # f32 reduction even for bf16 compute paths: a bf16 mean over millions of
+    # voxels loses most of its mantissa (the subtraction fuses either way).
+    d = (y - yp).astype(jnp.float32)
     return jnp.mean(d * d)
 
 
 def ssd(y: jnp.ndarray, yp: jnp.ndarray, alpha: float = 3.0) -> jnp.ndarray:
-    d = y - yp
+    d = (y - yp).astype(jnp.float32)
     return jnp.sum(d * d) * alpha
 
 
 def ncc(y: jnp.ndarray, yp: jnp.ndarray, alpha: float = 100.0) -> jnp.ndarray:
+    y = y.astype(jnp.float32)  # f32 moments; see mse note
+    yp = yp.astype(jnp.float32)
     y_ = y - jnp.mean(y)
     yp_ = yp - jnp.mean(yp)
     num = jnp.sum(y_ * yp_)
