@@ -94,6 +94,16 @@ def run_cascade(moving, target):
             n=8,
             flow_dtype="bfloat16",
             level_decay=3.5,  # steeper coarse-heavy budgets: equal RMSE, -30% time
+            # r2 recipe upgrades (measured, tune4/tune5 on 3 pairs):
+            # - plain U-Net for the flow polish: InstanceNorm whitens the
+            #   intensity signal an intensity-matching objective needs, so the
+            #   un-normed net converges in ~1/4 the epochs (early stop) at
+            #   BETTER final RMSE (99.3-99.9% vs 97.5-98.9% reduction);
+            # - bf16 matrix-stage sweeps (theta math and reductions stay f32).
+            # 2.80 s -> 0.78 s per 240^3 cascade at strictly better quality.
+            flow_attention=False,
+            flow_norm=False,
+            matrix_dtype="bfloat16",
         )
     res = _CASCADE(moving, target)
     # Force real completion: on remote-device transports block_until_ready can
@@ -111,11 +121,17 @@ def main():
     run_cascade(moving, target)
 
     times = []
+    res = None
     for _ in range(2):
         t0 = time.perf_counter()
-        run_cascade(moving, target)
+        res, _ = run_cascade(moving, target)
         times.append(time.perf_counter() - t0)
     t = min(times)
+
+    import jax.numpy as jnp
+
+    r0 = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
+    r1 = float(jnp.sqrt(jnp.mean((res.warped - target) ** 2)))
 
     regs_per_min = 60.0 / t
     baseline = 6.0  # north star: <10 s per cascade = 6/min
@@ -127,6 +143,7 @@ def main():
                 "unit": "registrations/min",
                 "vs_baseline": round(regs_per_min / baseline, 3),
                 "pallas_selftest": selftest,
+                "rmse_reduction_pct": round(100 * (1 - r1 / max(r0, 1e-12)), 2),
             }
         )
     )

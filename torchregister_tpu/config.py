@@ -103,6 +103,8 @@ class FlowConfig:
     dtype: str = "float32"
     remat: bool = False
     check_disp: bool = True
+    use_attention: bool = True
+    use_norm: bool = True
 
     def run(self, moving, target, **overrides):
         from .engines.flow import flow_register
@@ -137,6 +139,8 @@ class CascadeConfig:
     flow_remat: bool = False
     flow_max_disp: int = 8
     matrix_dtype: str = "float32"
+    flow_attention: bool = True
+    flow_norm: bool = True
 
     def run(self, moving, target, **overrides):
         from .engines.cascade import register_cascade

@@ -136,6 +136,8 @@ def register_cascade(
     flow_remat: bool = False,
     flow_max_disp: int = 8,
     matrix_dtype: str = "float32",
+    flow_attention: bool = True,
+    flow_norm: bool = True,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -244,6 +246,7 @@ def register_cascade(
                 key=jax.random.key(seed), dtype=flow_dtype,
                 init_params=params, remat=flow_remat,
                 max_disp=flow_max_disp,
+                use_attention=flow_attention, use_norm=flow_norm,
             )
             params = fres.params
             losses.append(fres.losses)

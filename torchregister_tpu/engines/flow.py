@@ -65,9 +65,12 @@ def _build_flow_fn(
     max_disp: int = 8,
     dtype: str = "float32",
     remat: bool = False,
+    use_attention: bool = True,
+    use_norm: bool = True,
 ):
     model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth,
-                          dtype=jnp.dtype(dtype))
+                          dtype=jnp.dtype(dtype),
+                          use_attention=use_attention, use_norm=use_norm)
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
 
@@ -140,6 +143,8 @@ def flow_register(
     init_params=None,
     remat: bool = False,
     check_disp: bool = True,
+    use_attention: bool = True,
+    use_norm: bool = True,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -167,7 +172,7 @@ def flow_register(
     run, model, init_fn = _build_flow_fn(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
         optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
-        str(dtype), bool(remat),
+        str(dtype), bool(remat), bool(use_attention), bool(use_norm),
     )
     if key is None:
         key = jax.random.key(0)
