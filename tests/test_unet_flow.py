@@ -204,3 +204,25 @@ def test_flow_deform_reapplies_to_other_channels():
     np.testing.assert_allclose(
         np.asarray(out[:, 1]), 2 * np.asarray(out[:, 0]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_flow_progress_every_prints_and_matches(capsys):
+    """progress_every segments the loop via one compiled chunk program; the
+    result must equal the unsegmented run (same step sequence) and progress
+    lines must appear (SURVEY §5 tqdm analog, warpings.py:208,222-229)."""
+    import numpy as np
+    from torchregister_tpu.engines.flow import flow_register
+
+    rng = np.random.default_rng(5)
+    m = jnp.asarray(rng.normal(size=(1, 1, 20, 20)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(1, 1, 20, 20)).astype(np.float32))
+    kw = dict(lr=1e-3, max_epochs=6, n=32, depth=1, criterions=["mse"],
+              optimizer="adam", check_disp=False)
+    _, r1 = flow_register(m, t, **kw)
+    _, r2 = flow_register(m, t, progress_every=2, **kw)
+    out = capsys.readouterr().out
+    assert "epoch 2/6" in out and "epoch 6/6" in out
+    np.testing.assert_allclose(np.asarray(r1.flow), np.asarray(r2.flow),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.losses), np.asarray(r2.losses),
+                               rtol=1e-6, atol=1e-7)

@@ -105,6 +105,7 @@ class FlowConfig:
     check_disp: bool = True
     use_attention: bool = True
     use_norm: bool = True
+    progress_every: Optional[int] = None
 
     def run(self, moving, target, **overrides):
         from .engines.flow import flow_register

@@ -87,19 +87,17 @@ def _build_flow_fn(
             apply = jax.checkpoint(apply)
         return apply(params, moving)
 
-    def run(moving, target, params0):
+    def _loop(moving, target, carry, end):
         def loss_fn(params):
             flow = predict_flow(params, moving)
             warped = warp(moving, flow)
             return loss(target, warped)
 
         grad_fn = jax.value_and_grad(loss_fn)
-        opt_state0 = tx.init(params0)
-        losses0 = jnp.full((max_epochs,), jnp.nan, jnp.float32)
 
         def cond(carry):
             _, _, i, _, last = carry
-            return (i < max_epochs) & (last > stop_crit)
+            return (i < end) & (last > stop_crit)
 
         def _body(carry):
             params, opt_state, i, losses, _ = carry
@@ -109,18 +107,37 @@ def _build_flow_fn(
             losses = jax.lax.dynamic_update_slice(losses, loss_val[None], (i,))
             return params, opt_state, i + 1, losses, loss_val
 
-        params, _, steps, losses, last = jax.lax.while_loop(
-            cond, _body, (params0, opt_state0, jnp.int32(0), losses0, jnp.float32(jnp.inf))
+        return jax.lax.while_loop(cond, _body, carry)
+
+    def make_carry(params0):
+        return (
+            params0,
+            tx.init(params0),
+            jnp.int32(0),
+            jnp.full((max_epochs,), jnp.nan, jnp.float32),
+            jnp.float32(jnp.inf),
         )
+
+    def finalize(moving, carry):
+        params, _, steps, losses, last = carry
         flow = predict_flow(params, moving)
         warped = warp(moving, flow)  # method-consistent final warp
         converged = last <= stop_crit
         return flow, warped, losses, steps, converged, params, jnp.max(jnp.abs(flow))
 
+    def run(moving, target, params0):
+        carry = _loop(moving, target, make_carry(params0), jnp.int32(max_epochs))
+        return finalize(moving, carry)
+
+    # Segmented variant for host progress reporting: one compiled chunk
+    # program re-invoked with a growing dynamic ``end`` (no retrace/segment).
+    run_chunk = jax.jit(_loop)
+    run_finalize = jax.jit(finalize)
+
     # Jitted param init: eager flax init dispatches hundreds of ops (very
     # costly over remote-device transports).
     init_fn = jax.jit(lambda key, x: model.init(key, x)["params"])
-    return jax.jit(run), model, init_fn
+    return jax.jit(run), model, init_fn, make_carry, run_chunk, run_finalize
 
 
 def flow_register(
@@ -145,6 +162,7 @@ def flow_register(
     check_disp: bool = True,
     use_attention: bool = True,
     use_norm: bool = True,
+    progress_every: int | None = None,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -158,6 +176,12 @@ def flow_register(
     warpings.py:178-242); with ``check_disp`` the recovered field is checked
     against it post-run and a RuntimeWarning fires on overflow. Use
     ``method='exact'`` or a larger ``max_disp`` for large-displacement pairs.
+
+    ``progress_every=N`` prints loss progress every N epochs — the TPU analog
+    of the reference's tqdm bar + every-100-epoch prints (warpings.py:208,
+    222-229): the loop runs as ONE compiled chunk program re-invoked with a
+    moving end index (no retraces), paying one host sync per segment instead
+    of one per epoch. Default None keeps the loop entirely on device.
     """
     if grad_edges:
         moving = edge_filter(moving)
@@ -169,7 +193,7 @@ def flow_register(
         depth = max_depth_for(spatial)
         if depth == 0:
             raise ValueError(f"volume {spatial} too small for the U-Net")
-    run, model, init_fn = _build_flow_fn(
+    run, model, init_fn, make_carry, run_chunk, run_finalize = _build_flow_fn(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
         optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
         str(dtype), bool(remat), bool(use_attention), bool(use_norm),
@@ -177,9 +201,26 @@ def flow_register(
     if key is None:
         key = jax.random.key(0)
     params0 = init_params if init_params is not None else init_fn(key, moving)
-    flow, warped, losses, steps, converged, params, maxd = run(
-        moving, target, params0
-    )
+    if progress_every:
+        carry = make_carry(params0)
+        for end in range(progress_every, max_epochs + progress_every,
+                         progress_every):
+            end = min(end, max_epochs)
+            carry = run_chunk(moving, target, carry, jnp.int32(end))
+            i_done, last = int(carry[2]), float(carry[4])
+            print(f"[flow_register] epoch {i_done}/{max_epochs} "
+                  f"loss={last:.6g}", flush=True)
+            if i_done < end or last <= stop_crit:
+                print(f"[flow_register] converged at epoch {i_done} "
+                      f"(loss <= {stop_crit:g})")
+                break
+        flow, warped, losses, steps, converged, params, maxd = run_finalize(
+            moving, carry
+        )
+    else:
+        flow, warped, losses, steps, converged, params, maxd = run(
+            moving, target, params0
+        )
     if check_disp and method == "separable" and not isinstance(maxd, jax.core.Tracer):
         import warnings
 

@@ -91,7 +91,7 @@ def register_cohort(
     elif mode == "flow":
         if depth is None:
             depth = max_depth_for(movings.shape[2:])
-        run, model, _ = _build_flow_fn(
+        run, model, *_rest = _build_flow_fn(
             tuple(criteria), tuple(w), float(lr), int(epochs), float(stop_crit),
             optimizer, ndim, 1, float(n), int(depth),
         )
