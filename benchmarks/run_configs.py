@@ -126,6 +126,9 @@ def main():
         levels=3, rigid_epochs=500 // div, affine_epochs=200 // div,
         flow_epochs=100 // div, criterions=("mse", "ncc"), optimizer="adam",
         n=8, flow_dtype="bfloat16", level_decay=3.5,
+        # bench.py r2 recipe: no-norm flow U-Net + bf16 matrix sweeps
+        flow_attention=False, flow_norm=False, matrix_dtype="bfloat16",
+        rigid_lr=3e-3, affine_lr=1e-3,
     )
     # One v5e chip holds a microbatch of 4 at 240^3 (batch 8 needs ~16.01 GB
     # HBM — the 8-wide layout is for an 8-chip data mesh); run 2 microbatches.

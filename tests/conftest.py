@@ -22,5 +22,25 @@ import jax  # noqa: E402
 # A site hook in this image force-updates jax_platforms to "axon,cpu" at jax
 # import, overriding the env var — force it back to CPU for tests.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache is OPT-IN for tests: cache (de)serialization
+# (zstandard) segfaults deterministically late in a long full-suite process
+# on this host (~test 185/186, fresh cache or warm, read or write paths).
+# Partial-suite runs are safe and much faster with it:
+#   TORCHREGISTER_TEST_CACHE=1 python -m pytest tests/test_blocked.py ...
+if os.environ.get("TORCHREGISTER_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# The XLA:CPU backend segfaults when compiling fresh programs late in a long
+# single process (reproduced deterministically at ~185 compiled tests, with
+# and without the persistent cache, in backend_compile_and_load). Freeing
+# compiled executables between test modules keeps the per-process compiler
+# state bounded. Costs some recompilation of shared ops; correctness first.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

@@ -126,3 +126,47 @@ def test_default_criterion_stack_runs_small():
         grad_edges=False, init="identity",
     )
     assert np.isfinite(np.asarray(res.losses)).all()
+
+
+def test_rigid_plateau_early_stop():
+    """stop_rel plateau stopping: on an already-aligned pair the loss can't
+    improve, so the loop exits after ~patience steps (NaN-padded losses); and
+    with stop_rel the well-posed problem still recovers the transform."""
+    moving = jnp.asarray(_blob_volume((20, 20), seed=3))
+    # aligned pair: immediate plateau
+    _, res = rigid_register(
+        moving, moving, lr=1e-4, epochs=300, criterions=["mse"],
+        grad_edges=False, optimizer="adam", init="identity",
+        stop_rel=1e-4, patience=10,
+    )
+    losses = np.asarray(res.losses)
+    executed = int(np.isfinite(losses).sum())
+    assert executed < 50, executed  # stopped long before the 300 budget
+    # misaligned pair: must still register correctly with early stop enabled
+    theta = rigid_theta(jnp.asarray([0.06, 0.1, -0.05], jnp.float32))[None]
+    target = warp_affine(theta, moving)
+    _, res2 = rigid_register(
+        moving, target, lr=5e-3, epochs=400, criterions=["mse"],
+        grad_edges=False, optimizer="adam", init="identity",
+        stop_rel=1e-4, patience=25,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2.best_theta), np.asarray(theta), atol=0.05
+    )
+
+
+def test_early_stop_disabled_matches_scan_path():
+    """stop_rel=None keeps the original scan semantics bit-for-bit."""
+    moving = jnp.asarray(_blob_volume((16, 16), seed=4))
+    target = jnp.asarray(_blob_volume((16, 16), seed=5))
+    kw = dict(lr=1e-3, epochs=12, criterions=["mse"], grad_edges=False,
+              optimizer="adam", init="identity")
+    _, r1 = rigid_register(moving, target, **kw)
+    _, r2 = rigid_register(moving, target, stop_rel=1e-9, patience=1000, **kw)
+    # patience > epochs: the while_loop never stops early; trajectories match
+    np.testing.assert_allclose(
+        np.asarray(r1.losses), np.asarray(r2.losses), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.best_theta), np.asarray(r2.best_theta), rtol=1e-6, atol=1e-7
+    )

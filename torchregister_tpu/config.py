@@ -54,6 +54,8 @@ class RigidConfig:
     method: str = "separable"
     max_shift: Union[int, Tuple[int, ...], None] = None  # None -> auto-derived
     check_window: bool = True
+    stop_rel: Optional[float] = None  # plateau early stop (TPU extension)
+    patience: int = 25
 
     def run(self, moving, target, **overrides):
         from .engines.rigid import rigid_register
@@ -76,6 +78,8 @@ class AffineConfig:
     method: str = "separable"
     max_shift: Union[int, Tuple[int, ...], None] = None
     check_window: bool = True
+    stop_rel: Optional[float] = None
+    patience: int = 25
 
     def run(self, moving, target, **overrides):
         from .engines.affine import affine_register
@@ -142,6 +146,8 @@ class CascadeConfig:
     matrix_dtype: str = "float32"
     flow_attention: bool = True
     flow_norm: bool = True
+    matrix_stop_rel: Optional[float] = None
+    matrix_patience: int = 25
 
     def run(self, moving, target, **overrides):
         from .engines.cascade import register_cascade

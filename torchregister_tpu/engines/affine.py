@@ -42,6 +42,8 @@ def _build_affine_fn(
     ndim: int,
     method: str = "separable",
     max_shift: int | tuple | None = None,
+    stop_rel: float | None = None,
+    patience: int = 25,
 ):
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
@@ -58,7 +60,7 @@ def _build_affine_fn(
             return loss(target, warped)
 
         final_params, best_params, best_loss, losses, hist = optimize_scan(
-            loss_fn, params0, tx, epochs
+            loss_fn, params0, tx, epochs, stop_rel=stop_rel, patience=patience
         )
         return RegistrationResult(
             final_theta=final_params.reshape(1, ndim, ndim + 1),
@@ -87,6 +89,8 @@ def affine_register(
     method: str = "separable",
     max_shift=None,
     check_window: bool = True,
+    stop_rel: float | None = None,
+    patience: int = 25,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a full affine matrix.
 
@@ -123,7 +127,9 @@ def affine_register(
         )
         windows = resolve_sweep_windows(theta0_np, spatial, None)
     run = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
-                           optimizer, ndim, method, windows)
+                           optimizer, ndim, method, windows,
+                           None if stop_rel is None else float(stop_rel),
+                           int(patience))
     result = run(moving, target, params0)
     if method == "exact":
         from ..ops.blocked import warp_affine_fast

@@ -138,6 +138,8 @@ def register_cascade(
     matrix_dtype: str = "float32",
     flow_attention: bool = True,
     flow_norm: bool = True,
+    matrix_stop_rel: float | None = None,
+    matrix_patience: int = 25,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -189,6 +191,7 @@ def register_cascade(
                 base, tgt_l, lr=rigid_lr, epochs=budgets[i],
                 criterions=list(criterions), weights=weights, grad_edges=False,
                 optimizer=optimizer, init="identity",
+                stop_rel=matrix_stop_rel, patience=matrix_patience,
                 max_shift=level_shift(i, mov_l), key=jax.random.key(seed),
             )
             theta = compose_theta(theta, res.best_theta)
@@ -204,6 +207,7 @@ def register_cascade(
                 base, tgt_l, lr=affine_lr, epochs=budgets[i],
                 criterions=list(criterions), weights=weights, grad_edges=False,
                 optimizer=optimizer,
+                stop_rel=matrix_stop_rel, patience=matrix_patience,
                 max_shift=level_shift(i if "rigid" not in stages else levels, mov_l),
             )
             theta = compose_theta(theta, res.best_theta)

@@ -114,20 +114,28 @@ def optimize_scan(
     params0: Any,
     tx: optax.GradientTransformation,
     epochs: int,
+    stop_rel: float | None = None,
+    patience: int = 25,
 ):
-    """Run ``epochs`` optimizer steps of ``loss_fn`` under ``lax.scan``.
+    """Run up to ``epochs`` optimizer steps of ``loss_fn`` on device.
 
     Returns ``(final_params, best_params, best_loss, losses, param_history)``.
     Best-tracking matches the reference (warpings.py:85-93): the *pre-update*
     parameters of the lowest-loss step win (strict ``<``; first step
     initializes). ``param_history`` stacks the pre-update params per epoch
-    (rigid/affine params are a handful of floats — negligible).
+    (rigid/affine params are a handful of floats — negligible; NaN-padded
+    past an early stop).
+
+    ``stop_rel`` enables plateau early-stopping (a TPU-native extension — the
+    reference's matrix engines always run the full budget): stop once the best
+    loss hasn't improved *relatively* by ``stop_rel`` within the last
+    ``patience`` steps. The loop then runs as ``lax.while_loop`` instead of
+    ``scan`` — still entirely on device, zero host syncs.
     """
     opt_state0 = tx.init(params0)
     grad_fn = jax.value_and_grad(loss_fn)
 
-    def step(carry, _):
-        params, opt_state, best_loss, best_params = carry
+    def step_core(params, opt_state, best_loss, best_params):
         loss_val, grads = grad_fn(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -135,11 +143,54 @@ def optimize_scan(
         best_params = jax.tree.map(
             lambda b, p: jnp.where(better, p, b), best_params, params
         )
-        best_loss = jnp.where(better, loss_val, best_loss)
-        return (new_params, opt_state, best_loss, best_params), (loss_val, params)
+        new_best = jnp.where(better, loss_val, best_loss)
+        return new_params, opt_state, new_best, best_params, loss_val, params
 
-    init = (params0, opt_state0, jnp.asarray(jnp.inf, jnp.float32), params0)
-    (final_params, _, best_loss, best_params), (losses, param_hist) = jax.lax.scan(
-        step, init, None, length=epochs
+    if stop_rel is None:
+        def step(carry, _):
+            params, opt_state, best_loss, best_params = carry
+            params, opt_state, best_loss, best_params, loss_val, pre = step_core(
+                params, opt_state, best_loss, best_params
+            )
+            return (params, opt_state, best_loss, best_params), (loss_val, pre)
+
+        init = (params0, opt_state0, jnp.asarray(jnp.inf, jnp.float32), params0)
+        (final_params, _, best_loss, best_params), (losses, param_hist) = (
+            jax.lax.scan(step, init, None, length=epochs)
+        )
+        return final_params, best_params, best_loss, losses, param_hist
+
+    flat0 = jnp.ravel(jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(params0)]))
+    losses0 = jnp.full((epochs,), jnp.nan, jnp.float32)
+    hist0 = jnp.full((epochs, flat0.size), jnp.nan, jnp.float32)
+
+    def cond(carry):
+        _, _, best_loss, _, i, _, _, ref_loss, since = carry
+        plateaued = (since >= patience) & (
+            best_loss > ref_loss * (1.0 - stop_rel)
+        )
+        return (i < epochs) & ~plateaued
+
+    def body(carry):
+        params, opt_state, best_loss, best_params, i, losses, hist, ref_loss, since = carry
+        params, opt_state, new_best, best_params, loss_val, pre = step_core(
+            params, opt_state, best_loss, best_params
+        )
+        losses = jax.lax.dynamic_update_slice(losses, loss_val[None], (i,))
+        pre_flat = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(pre)])
+        hist = jax.lax.dynamic_update_slice(hist, pre_flat[None], (i, 0))
+        # reset the plateau window whenever the best improves enough
+        improved = new_best < ref_loss * (1.0 - stop_rel)
+        ref_loss = jnp.where(improved, new_best, ref_loss)
+        since = jnp.where(improved, 0, since + 1)
+        return params, opt_state, new_best, best_params, i + 1, losses, hist, ref_loss, since
+
+    init = (
+        params0, opt_state0, jnp.asarray(jnp.inf, jnp.float32), params0,
+        jnp.int32(0), losses0, hist0, jnp.asarray(jnp.inf, jnp.float32),
+        jnp.int32(0),
     )
-    return final_params, best_params, best_loss, losses, param_hist
+    (final_params, _, best_loss, best_params, _, losses, hist, _, _) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    return final_params, best_params, best_loss, losses, hist

@@ -50,6 +50,8 @@ def _build_rigid_fn(
     ndim: int,
     method: str = "separable",
     max_shift: int | tuple | None = None,
+    stop_rel: float | None = None,
+    patience: int = 25,
 ):
     """One compiled program per (loss stack, lr, epochs, optimizer, ndim).
 
@@ -72,7 +74,7 @@ def _build_rigid_fn(
             return loss(target, warped)
 
         final_params, best_params, best_loss, losses, hist = optimize_scan(
-            loss_fn, params0, tx, epochs
+            loss_fn, params0, tx, epochs, stop_rel=stop_rel, patience=patience
         )
         return RegistrationResult(
             final_theta=rigid_theta(final_params)[None],
@@ -103,6 +105,8 @@ def rigid_register(
     method: str = "separable",
     max_shift=None,
     check_window: bool = True,
+    stop_rel: float | None = None,
+    patience: int = 25,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a rigid transform.
 
@@ -132,7 +136,9 @@ def rigid_register(
     else:
         windows = resolve_sweep_windows(rigid_theta_np(init_params), spatial, None)
     run = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
-                          optimizer, ndim, method, windows)
+                          optimizer, ndim, method, windows,
+                          None if stop_rel is None else float(stop_rel),
+                          int(patience))
     result = run(moving, target, init_params)
     if method == "exact":
         from ..ops.blocked import warp_affine_fast

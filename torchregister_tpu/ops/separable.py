@@ -209,7 +209,9 @@ def required_windows(theta, spatial, align_corners: bool = False) -> tuple[int, 
 
 # -------------------------------------------------------------------- sweeps
 
-_UNROLL_LIMIT = 40  # unrolled sweeps fuse into one XLA kernel; larger loops
+_UNROLL_LIMIT = 24  # unrolled sweeps fuse into one XLA kernel (the K<=8 hot
+# loops); beyond this the fused program materializes enough shifted copies to
+# OOM batched 240^3 volumes (seen at K=16, batch 4) — fori is memory-lean
 
 
 def _shift_axis(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
