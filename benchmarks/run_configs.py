@@ -130,9 +130,12 @@ def main():
         flow_attention=False, flow_norm=False, matrix_dtype="bfloat16",
         rigid_lr=3e-3, affine_lr=1e-3,
     )
-    # One v5e chip holds a microbatch of 4 at 240^3 (batch 8 needs ~16.01 GB
-    # HBM — the 8-wide layout is for an 8-chip data mesh); run 2 microbatches.
-    mb = 4 if not args.quick else B
+    # Microbatch 2 on one chip: the r2 recipe's scale-aware final flow window
+    # (K=16, 34 sweep terms) is fused-unrolled per vmap element — the
+    # footprint guard in ops/separable.py sees per-element shapes only, so at
+    # microbatch 4 the batched program OOMs 16 GB HBM. Each 240^3 pair
+    # saturates the chip anyway; the 8-wide layout targets an 8-chip mesh.
+    mb = 2 if not args.quick else B
     def cfg5():
         acc = 0.0
         for i in range(0, B, mb):

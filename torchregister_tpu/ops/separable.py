@@ -209,9 +209,11 @@ def required_windows(theta, spatial, align_corners: bool = False) -> tuple[int, 
 
 # -------------------------------------------------------------------- sweeps
 
-_UNROLL_LIMIT = 24  # unrolled sweeps fuse into one XLA kernel (the K<=8 hot
-# loops); beyond this the fused program materializes enough shifted copies to
-# OOM batched 240^3 volumes (seen at K=16, batch 4) — fori is memory-lean
+_UNROLL_LIMIT = 40  # max terms for the unrolled-fused sweep (one XLA kernel)
+_UNROLL_BYTES = 2_000_000_000  # ... but only while the fused program's
+# worst-case materialized footprint (terms x operand bytes) stays bounded:
+# batched 240^3 volumes at K=16 OOM'd the chip (34 terms x 221 MB ~ 7.5 GB)
+# while the single-pair case (34 x 55 MB) is fine and much faster unrolled
 
 
 def _shift_axis(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
@@ -252,8 +254,10 @@ def sweep_resample_axis(
     K = int(max_shift)
     n_terms = 2 * K + 2
 
-    if n_terms <= _UNROLL_LIMIT:
-        out = jnp.zeros(jnp.broadcast_shapes(src.shape, fr.shape), src.dtype)
+    out_shape = jnp.broadcast_shapes(src.shape, fr.shape)
+    fused_bytes = n_terms * int(np.prod(out_shape)) * src.dtype.itemsize
+    if n_terms <= _UNROLL_LIMIT and fused_bytes <= _UNROLL_BYTES:
+        out = jnp.zeros(out_shape, src.dtype)
         for s in range(-K, K + 2):
             w = jnp.where(k == s, 1.0 - fr, 0.0) + jnp.where(k == s - 1, fr, 0.0)
             out = out + _shift_axis(src, s, arr_axis) * w
