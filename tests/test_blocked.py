@@ -106,3 +106,28 @@ def test_warp_flow_fast_auto():
     # explicit max_disp avoids the readback and still matches
     ours2 = warp_flow_fast(src, flow, max_disp=4.0)
     np.testing.assert_allclose(np.asarray(ours2), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_affine_fast_batched_shared_theta():
+    """N volumes, one transform: folded into channels, still exact."""
+    moving = _rand((3, 2, 24, 24, 24), 20)
+    theta = _rot_theta(0.25)
+    ours = warp_affine_fast(theta, moving)
+    ref = warp_affine(jnp.broadcast_to(theta, (3, 3, 4)), moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_affine_fast_batched_per_element_theta():
+    moving = _rand((2, 1, 24, 24, 24), 21)
+    thetas = jnp.concatenate([_rot_theta(0.2), _rot_theta(-0.15, (0.1, 0.0, -0.05))])
+    ours = warp_affine_fast(thetas, moving)
+    ref = warp_affine(thetas, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_flow_fast_batched():
+    src = _rand((2, 1, 24, 24, 24), 22)
+    flow = jnp.clip(_rand((2, 3, 24, 24, 24), 23) * 1.5, -4.0, 4.0)
+    ours = warp_flow_fast(src, flow)
+    ref = warp_flow(src, flow)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)

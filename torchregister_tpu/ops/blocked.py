@@ -252,13 +252,27 @@ def warp_affine_fast(theta, moving, align_corners: bool = False):
 
     theta = as_matrix(jnp.asarray(theta))
     spatial = moving.shape[2:]
+    N = moving.shape[0]
     if (
         isinstance(theta, jax.core.Tracer)
         or len(spatial) != 3
-        or theta.shape[0] != 1
-        or moving.shape[0] != 1
         or min(spatial) < TILE
     ):
+        return warp_affine(theta, moving, align_corners)
+    if N > 1:
+        if theta.shape[0] == 1:
+            # One transform, many volumes: the batch is just extra channels.
+            folded = moving.reshape(1, -1, *spatial)
+            out = warp_affine_fast(theta, folded, align_corners)
+            return out.reshape(moving.shape)
+        # Per-element transforms: few eager dispatches (cohort-final warps).
+        return jnp.concatenate(
+            [
+                warp_affine_fast(theta[i : i + 1], moving[i : i + 1], align_corners)
+                for i in range(N)
+            ]
+        )
+    if theta.shape[0] != 1:
         return warp_affine(theta, moving, align_corners)
     B = max(10, required_block_affine(theta, spatial, align_corners))
     B += -B % 2
@@ -278,10 +292,17 @@ def warp_flow_fast(src, flow, max_disp: float | None = None):
     if (
         (max_disp is None and isinstance(flow, jax.core.Tracer))
         or len(spatial) != 3
-        or src.shape[0] != 1
         or min(spatial) < TILE
     ):
         return warp_flow(src, flow)
+    if src.shape[0] > 1:
+        # Per-element fields: few eager dispatches (cohort-final warps).
+        return jnp.concatenate(
+            [
+                warp_flow_fast(src[i : i + 1], flow[i : i + 1], max_disp)
+                for i in range(src.shape[0])
+            ]
+        )
     if max_disp is not None:
         B = required_block_flow(max_disp)
     else:
