@@ -16,14 +16,12 @@ Writes benchmarks/default_stack.md.
 from __future__ import annotations
 
 import argparse
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import subprocess
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -68,7 +66,7 @@ def _cpu_2d_rigid_seconds(steps: int) -> float:
 import jax
 jax.config.update("jax_platforms", "cpu")
 import sys, time
-sys.path.insert(0, {_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))!r})
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
 from benchmarks.default_stack import _pair, _timeit
 from torchregister_tpu.engines.rigid import rigid_register
 m, t = _pair((256, 256), 0)

@@ -59,3 +59,25 @@ def test_cli_shape_mismatch_errors(pair, tmp_path):
     write_volume(bad, np.zeros((16, 16), np.float32))
     with pytest.raises(SystemExit):
         main(["register", mp, bad, "--mode", "rigid"])
+
+
+def test_cli_register_flow_and_apply_roundtrip(pair, capsys):
+    """Flow-mode register must save the field under the "flow" key; apply on
+    that file reproduces the register output exactly. Regression: it was
+    saved under "theta" and apply crashed trying to use it as a matrix."""
+    mp, tp, tmp = pair
+    out = str(tmp / "fwarped.nii")
+    tr_path = str(tmp / "ft.npz")
+    rc = main([
+        "register", mp, tp, "--mode", "flow", "--epochs", "6", "--lr", "1e-3",
+        "--criterion", "mse", "-o", out, "--save-transform", tr_path,
+    ])
+    assert rc == 0
+    from torchregister_tpu.utils.io import load_pytree
+
+    tr_ = load_pytree(tr_path)
+    assert "flow" in tr_ and "theta" not in tr_
+    applied = str(tmp / "fapplied.nii")
+    assert main(["apply", mp, tr_path, "-o", applied]) == 0
+    np.testing.assert_allclose(read_volume(applied), read_volume(out),
+                               rtol=1e-6, atol=1e-7)

@@ -63,7 +63,10 @@ def cmd_register(args) -> int:
         reg.optim(moving, target, lr=args.lr, max_epochs=args.epochs, n=args.n)
         warped = reg(moving)
         theta = reg.theta
-        transform = {"theta": np.asarray(reg.theta)}
+        # flow mode stores a [1,d,*S] field — save it under the key `apply`
+        # dispatches on (a flow under "theta" would be misapplied as a matrix)
+        key = "flow" if args.mode == "flow" else "theta"
+        transform = {key: np.asarray(reg.theta)}
     elapsed = time.perf_counter() - t0
 
     rmse0 = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))

@@ -222,14 +222,19 @@ class Register:
                 f"loss first={losses[0]:.6g} last={losses[-1]:.6g} "
                 f"best={losses.min():.6g}"
             )
-            nan_at = np.flatnonzero(~np.isfinite(raw[: losses.size]))
+            # indices of the finite entries in the RAW arrays: epoch labels,
+            # loss values and param rows must refer to the same actual step
+            # even when NaNs appear mid-run (exactly the debug scenario)
+            fin_idx = np.flatnonzero(np.isfinite(raw))
+            nan_at = np.flatnonzero(~np.isfinite(raw[: fin_idx[-1] + 1]))
             if nan_at.size:
                 print(f"  WARNING: non-finite loss first at epoch {nan_at[0]}")
             hist = getattr(self.result, "param_history", None)
-            marks = sorted({*np.linspace(0, losses.size - 1, 11).astype(int)})
+            marks = sorted({*np.linspace(0, fin_idx.size - 1, 11).astype(int)})
             hist_np = None if hist is None else np.asarray(hist)
-            for e in marks:
-                line = f"  epoch {e:>6d}  loss {losses[e]:.6g}"
+            for m in marks:
+                e = int(fin_idx[m])
+                line = f"  epoch {e:>6d}  loss {raw[e]:.6g}"
                 if hist_np is not None:
                     line += "  params " + np.array2string(
                         hist_np[e], precision=4, separator=", "

@@ -193,6 +193,9 @@ def register_cascade(
                 optimizer=optimizer, init="identity",
                 stop_rel=matrix_stop_rel, patience=matrix_patience,
                 max_shift=level_shift(i, mov_l), key=jax.random.key(seed),
+                check_window=False,  # windows sized explicitly per level; the
+                # check's device_get would add a ~0.8 s host sync per level
+                # on remote transports
             )
             theta = compose_theta(theta, res.best_theta)
             losses.append(res.losses)
@@ -209,6 +212,7 @@ def register_cascade(
                 optimizer=optimizer,
                 stop_rel=matrix_stop_rel, patience=matrix_patience,
                 max_shift=level_shift(i if "rigid" not in stages else levels, mov_l),
+                check_window=False,  # see rigid stage note
             )
             theta = compose_theta(theta, res.best_theta)
             losses.append(res.losses)
@@ -251,6 +255,9 @@ def register_cascade(
                 init_params=params, remat=flow_remat,
                 max_disp=flow_max_disp,
                 use_attention=flow_attention, use_norm=flow_norm,
+                check_disp=False,  # per-level readbacks would serialize the
+                # eager cascade; the final field's bound is checked by users
+                # via FlowResult.max_disp
             )
             params = fres.params
             losses.append(fres.losses)

@@ -64,7 +64,14 @@ def resolve_sweep_windows(
     out = []
     bumped = False
     for d, r, a in zip(default, req, axes):
-        k = d if r + 2 <= d else min(int(spatial[a]), r + 4)
+        if r + 2 <= d:
+            k = d
+        else:
+            # Quantize bumped windows to multiples of 8: the window feeds the
+            # engines' jit/lru cache key, and an exact ceil(required)+margin is
+            # a continuous function of a random init — every multi-restart
+            # draw would otherwise recompile the whole engine (~30-90 s).
+            k = min(int(spatial[a]), -(-(r + 4) // 8) * 8)
         bumped |= k != d
         out.append(k)
     return tuple(out) if bumped else None  # None keeps the shared jit cache

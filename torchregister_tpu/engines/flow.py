@@ -131,6 +131,9 @@ def _build_flow_fn(
 
     # Segmented variant for host progress reporting: one compiled chunk
     # program re-invoked with a growing dynamic ``end`` (no retrace/segment).
+    # make_carry is jitted too: eager optax.init dispatches one op per U-Net
+    # leaf (~0.1-1 s each over remote transports).
+    make_carry = jax.jit(make_carry)
     run_chunk = jax.jit(_loop)
     run_finalize = jax.jit(finalize)
 

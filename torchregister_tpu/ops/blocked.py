@@ -50,7 +50,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .separable import affine_to_index_map
+from .separable import _index_map_np, affine_to_index_map
 from .transforms import as_matrix
 
 TILE = 10  # output tile edge; best v5e balance of slice-gather latency
@@ -63,21 +63,14 @@ def required_block_affine(theta, spatial: Sequence[int], align_corners: bool = F
     """Smallest valid ``B`` for a *concrete* theta: the max per-axis source
     extent of one output tile, ``ceil(TILE * max_axis sum_j |M[a,j]|) + 3``.
 
-    Pure-host numpy mirror of :func:`separable.affine_to_index_map`'s linear
-    block (eager device ops cost ~0.1-1 s each over remote transports)."""
+    Host-side (``separable._index_map_np`` — eager device ops cost ~0.1-1 s
+    each over remote transports)."""
     theta = np.asarray(jax.device_get(theta), np.float64)
     if theta.ndim == 3:
         theta = theta[0]
     if theta.ndim == 1 or theta.shape[0] == 1:
         theta = theta.reshape(3, 4)
-    d = len(spatial)
-    sizes = np.asarray(spatial, np.float64)
-    A = theta[:, :d][::-1, ::-1]
-    if align_corners:
-        scale_out, scale_in = 2.0 / (sizes - 1.0), (sizes - 1.0) / 2.0
-    else:
-        scale_out, scale_in = 2.0 / sizes, sizes / 2.0
-    M = A * scale_in[:, None] * scale_out[None, :]
+    M, _ = _index_map_np(theta, spatial, align_corners)
     ext = (TILE - 1) * np.abs(M).sum(axis=1).max() + 3.0
     return int(math.ceil(ext))
 
