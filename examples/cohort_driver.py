@@ -1,0 +1,96 @@
+"""Cohort-scale registration driver: one SPMD program over a device mesh.
+
+The reference registers one pair at a time on one GPU (torchregister.py:53-55
+hard-assumes batch 1). This driver shows the TPU-native scaling story: a
+cohort of pairs registered as ONE sharded program over all available chips —
+pairs are independent, so XLA emits zero collectives and throughput scales
+linearly over ICI (`tests/test_parallel.py` pins the compiled-HLO collective
+count).
+
+Runs anywhere: on a TPU pod slice it uses the real chips; on CPU it
+demonstrates the same SPMD program over virtual devices:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/cohort_driver.py --batch 8
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import torchregister_tpu as tr
+from torchregister_tpu.ops.blocked import warp_affine_fast
+from torchregister_tpu.ops.resample import warp_affine
+from torchregister_tpu.ops.transforms import rigid_theta
+from torchregister_tpu.parallel import make_mesh, register_cohort
+
+
+def cohort(batch: int, shape, seed: int = 0):
+    """Synthetic cohort: per-subject blob anatomy + a known rigid perturbation."""
+    rng = np.random.default_rng(seed)
+    grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    movings, targets, trues = [], [], []
+    for _ in range(batch):
+        vol = np.zeros(shape, np.float32)
+        for _ in range(5):
+            c = rng.uniform(-0.4, 0.4, len(shape))
+            w = rng.uniform(0.15, 0.3)
+            vol += np.exp(-sum((g - ci) ** 2 for g, ci in zip(grids, c)) / (2 * w**2))
+        mov = jnp.asarray(vol[None, None])
+        params = rng.uniform(-0.08, 0.08, 3 if len(shape) == 2 else 6).astype(np.float32)
+        theta = rigid_theta(jnp.asarray(params))[None]
+        movings.append(mov)
+        targets.append(warp_affine(theta, mov))
+        trues.append(theta)
+    return (
+        jnp.concatenate(movings),
+        jnp.concatenate(targets),
+        jnp.concatenate(trues),
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=len(jax.devices()))
+    ap.add_argument("--size", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--mode", default="rigid", choices=["rigid", "affine"])
+    args = ap.parse_args(argv)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev,), ("data",)) if n_dev > 1 else None
+    movings, targets, trues = cohort(args.batch, (args.size,) * 2)
+    print(f"cohort of {args.batch} pairs at {args.size}^2 over {n_dev} device(s)")
+
+    t0 = time.perf_counter()
+    res = register_cohort(
+        movings, targets, mode=args.mode, mesh=mesh, lr=5e-3,
+        epochs=args.epochs, criterions=["mse"], optimizer="adam",
+        init="identity",
+    )
+    # cohort results carry the engines' per-pair leading axis: best_theta is
+    # [B, 1, d, d+1]; squeeze to [B, d, d+1] for batched warps
+    thetas = res.best_theta[:, 0]
+    err = jnp.max(jnp.abs(thetas - trues))
+    print(f"registered in {time.perf_counter() - t0:.2f}s; "
+          f"max |theta - true| = {float(err):.4f}")
+
+    # Re-apply each recovered transform with the fast exact resampler (the
+    # per-element batched path of ops/blocked.py).
+    warped = warp_affine_fast(thetas, movings)
+    rmse0 = float(jnp.sqrt(jnp.mean((movings - targets) ** 2)))
+    rmse1 = float(jnp.sqrt(jnp.mean((warped - targets) ** 2)))
+    print(f"cohort RMSE {rmse0:.5f} -> {rmse1:.5f}")
+    return 0 if float(err) < 0.05 and rmse1 < rmse0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
