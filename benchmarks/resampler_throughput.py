@@ -38,9 +38,18 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
         return run
 
+    from torchregister_tpu.ops.blocked import (
+        required_block_affine,
+        warp_affine_blocked,
+    )
+
+    B = max(10, required_block_affine(rigid_theta(p)[None], (S, S, S)))
+    B += -B % 2
     rows = []
     cases = [
         ("exact multilinear (XLA gather)", lambda t, m: warp_affine(t, m), 3),
+        (f"exact blocked (slice-gather + hat contractions, B={B})",
+         lambda t, m: warp_affine_blocked(t, m, block=B), 20),
         ("separable sweep, K=8 (engine residual window)",
          lambda t, m: warp_affine_separable(t, m, max_shift=8), 100),
         ("separable sweep, K=60 (full window; Pallas)",
