@@ -24,9 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+# The axon site hook force-sets jax_platforms at import, trampling the
+# JAX_PLATFORMS env var — mirror the user's request programmatically.
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
-import torchregister_tpu as tr
 from torchregister_tpu.ops.blocked import warp_affine_fast
 from torchregister_tpu.ops.resample import warp_affine
 from torchregister_tpu.ops.transforms import rigid_theta
@@ -83,8 +88,9 @@ def main(argv=None) -> int:
     print(f"registered in {time.perf_counter() - t0:.2f}s; "
           f"max |theta - true| = {float(err):.4f}")
 
-    # Re-apply each recovered transform with the fast exact resampler (the
-    # per-element batched path of ops/blocked.py).
+    # Re-apply each recovered transform with exact grid_sample semantics
+    # (warp_affine_fast: the blocked resampler for 3D volumes, the direct
+    # exact path for small/2D ones like this demo).
     warped = warp_affine_fast(thetas, movings)
     rmse0 = float(jnp.sqrt(jnp.mean((movings - targets) ** 2)))
     rmse1 = float(jnp.sqrt(jnp.mean((warped - targets) ** 2)))

@@ -215,6 +215,11 @@ class Register:
         information content afterwards.
         """
         raw = np.asarray(self.losses)
+        # Executed-step count separates early-stop NaN padding from mid-run
+        # divergence: within the executed prefix every NaN is a real bad loss.
+        steps_v = getattr(self.result, "steps", None)
+        executed = int(steps_v) if steps_v is not None else raw.size
+        raw = raw[:executed]
         losses = raw[np.isfinite(raw)]
         if losses.size:
             print(
@@ -226,7 +231,7 @@ class Register:
             # loss values and param rows must refer to the same actual step
             # even when NaNs appear mid-run (exactly the debug scenario)
             fin_idx = np.flatnonzero(np.isfinite(raw))
-            nan_at = np.flatnonzero(~np.isfinite(raw[: fin_idx[-1] + 1]))
+            nan_at = np.flatnonzero(~np.isfinite(raw))
             if nan_at.size:
                 print(f"  WARNING: non-finite loss first at epoch {nan_at[0]}")
             hist = getattr(self.result, "param_history", None)

@@ -167,6 +167,7 @@ def register_cascade(
 
     theta = identity_theta(ndim)[None]
     rigid_losses = affine_losses = flow_losses = None
+    scale = 1
 
     def level_shift(i, mov_l):
         if i == 0:  # coarsest level sees the full initial misalignment
@@ -229,7 +230,6 @@ def register_cascade(
         # independent, so coarse levels warm-start fine ones. Half-res also
         # avoids XLA layout blowups for narrow full-res decoder tensors.
         flow_in, flow_tgt = warped, target
-        scale = 1
         while max(flow_in.shape[2:]) > flow_max_size:
             flow_in = downsample_avg(flow_in, 2)
             flow_tgt = downsample_avg(flow_tgt, 2)
@@ -256,8 +256,8 @@ def register_cascade(
                 max_disp=flow_max_disp,
                 use_attention=flow_attention, use_norm=flow_norm,
                 check_disp=False,  # per-level readbacks would serialize the
-                # eager cascade; the final field's bound is checked by users
-                # via FlowResult.max_disp
+                # eager cascade; ONE end-of-run check below covers the final
+                # field against the final warp's window
             )
             params = fres.params
             losses.append(fres.losses)
@@ -275,6 +275,33 @@ def register_cascade(
             warped = warp_flow_separable(
                 warped, flow, max_disp=flow_max_disp * scale
             )
+
+    # One end-of-run overflow check for the eager path (a single host sync,
+    # instead of the per-level checks the inner engine calls skip): warn if
+    # the composed theta or the recovered flow outgrew the final separable
+    # windows — no silent zero-support. Under make_cascade_fn everything is a
+    # tracer and the checks are no-ops.
+    if final_warp != "exact" and not isinstance(theta, jax.core.Tracer):
+        from .common import check_sweep_windows
+
+        final_window = max(8, max(moving.shape[2:]) // 3)
+        check_sweep_windows(theta, moving.shape[2:], final_window,
+                            "register_cascade (composed theta)")
+        if flow is not None:
+            import warnings
+
+            maxd = float(jnp.max(jnp.abs(flow)))
+            bound = flow_max_disp * scale
+            if maxd > bound:
+                warnings.warn(
+                    f"register_cascade: recovered flow reaches {maxd:.1f} "
+                    f"voxels but the final sweep window is {bound}; "
+                    "displacements beyond it contribute zero "
+                    "(ops/separable.py:24-27). Raise flow_max_disp or use "
+                    "final_warp='exact'.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     return CascadeResult(
         warped=warped, theta=theta, flow=flow,

@@ -37,6 +37,10 @@ class RegistrationResult(NamedTuple):
     # reference's in-loop parameter prints (warpings.py:135-136,161-169)
     # post-hoc with zero host syncs in the loop.
     param_history: Any = None
+    # Executed step count: equals the epoch budget on the scan path, the exit
+    # index under plateau early-stop. Distinguishes early-stop NaN padding in
+    # ``losses`` from a mid-run divergence (both are NaN by position alone).
+    steps: Any = None
 
 
 def resolve_sweep_windows(
@@ -49,7 +53,9 @@ def resolve_sweep_windows(
     ``None`` (auto) takes the default ``max(8, S/4)`` per pass — which covers
     the tanh-bounded translations plus rotations to ~0.25 rad — and *bumps* any
     pass whose window the concrete init theta already requires more of
-    (+4 margin, capped at the axis size). This closes the silent-zero hole of
+    (required+4, rounded up to a multiple of 8 to bound the jit-cache
+    cardinality across random inits, capped at the axis size). This closes
+    the silent-zero hole of
     the reference-parity random init (angles up to 1 rad can displace volume
     corners beyond S/4; ops/separable.py:24-27). Explicit ``max_shift`` wins.
     """
@@ -126,7 +132,8 @@ def optimize_scan(
 ):
     """Run up to ``epochs`` optimizer steps of ``loss_fn`` on device.
 
-    Returns ``(final_params, best_params, best_loss, losses, param_history)``.
+    Returns ``(final_params, best_params, best_loss, losses, param_history,
+    steps)``.
     Best-tracking matches the reference (warpings.py:85-93): the *pre-update*
     parameters of the lowest-loss step win (strict ``<``; first step
     initializes). ``param_history`` stacks the pre-update params per epoch
@@ -165,7 +172,8 @@ def optimize_scan(
         (final_params, _, best_loss, best_params), (losses, param_hist) = (
             jax.lax.scan(step, init, None, length=epochs)
         )
-        return final_params, best_params, best_loss, losses, param_hist
+        return (final_params, best_params, best_loss, losses, param_hist,
+                jnp.int32(epochs))
 
     flat0 = jnp.ravel(jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(params0)]))
     losses0 = jnp.full((epochs,), jnp.nan, jnp.float32)
@@ -197,7 +205,7 @@ def optimize_scan(
         jnp.int32(0), losses0, hist0, jnp.asarray(jnp.inf, jnp.float32),
         jnp.int32(0),
     )
-    (final_params, _, best_loss, best_params, _, losses, hist, _, _) = (
+    (final_params, _, best_loss, best_params, steps, losses, hist, _, _) = (
         jax.lax.while_loop(cond, body, init)
     )
-    return final_params, best_params, best_loss, losses, hist
+    return final_params, best_params, best_loss, losses, hist, steps

@@ -73,7 +73,7 @@ def _build_rigid_fn(
             warped = warp(theta, moving)
             return loss(target, warped)
 
-        final_params, best_params, best_loss, losses, hist = optimize_scan(
+        final_params, best_params, best_loss, losses, hist, steps = optimize_scan(
             loss_fn, params0, tx, epochs, stop_rel=stop_rel, patience=patience
         )
         return RegistrationResult(
@@ -84,6 +84,7 @@ def _build_rigid_fn(
             losses=losses,
             best_loss=best_loss,
             param_history=hist,
+            steps=steps,
         )
 
     return jax.jit(run)
