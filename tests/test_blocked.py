@@ -108,6 +108,49 @@ def test_warp_flow_fast_auto():
     np.testing.assert_allclose(np.asarray(ours2), np.asarray(ref), rtol=1e-4, atol=3e-5)
 
 
+def test_warp_flow_fast_boundary_tiles_large_mean_flow():
+    """Regression: non-TILE-multiple shape + smooth large-mean flow.
+
+    Before edge-padding the flow in ``warp_flow_blocked``, zero-flow pad
+    voxels in partial boundary tiles pulled the per-tile block origin toward
+    identity coordinates, so real voxels near the high boundary silently
+    lost interpolation support (max error ~2 vs the oracle at the advisor's
+    repro). Exercises the auto-derived block size (``flow_tile_extent``).
+    """
+    shape = (25, 27, 26)
+    src = _rand((1, 1) + shape, 30)
+    # Smooth field with ~6-voxel mean displacement + gentle spatial variation.
+    zz, yy, xx = jnp.meshgrid(
+        *[jnp.linspace(0, jnp.pi, s) for s in shape], indexing="ij"
+    )
+    comp = 6.0 + 1.5 * jnp.sin(zz) * jnp.cos(yy) * jnp.sin(xx)
+    flow = jnp.stack([comp, -comp, comp])[None].astype(jnp.float32)
+    ours = warp_flow_fast(src, flow)
+    ref = warp_flow(src, flow)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+    # and the explicitly-blocked path at a few block sizes
+    for B in (16, 20):
+        np.testing.assert_allclose(
+            np.asarray(warp_flow_blocked(src, flow, block=B)),
+            np.asarray(ref), rtol=1e-4, atol=3e-5,
+        )
+
+
+def test_flow_tile_extent_bf16_flow_upcasts():
+    """bf16 flows must not under-size the block: extent math runs in f32."""
+    shape = (240, 12, 12)
+    flow = jnp.zeros((1, 3) + shape, jnp.bfloat16)
+    # ramp along z: at coords near 240 a bf16 identity+flow sum quantizes to
+    # ~1-2 voxels, under-estimating the within-tile extent
+    ramp = jnp.linspace(0.0, 5.0, shape[0]).reshape(-1, 1, 1)
+    flow = flow.at[0, 0].set(ramp.astype(jnp.bfloat16))
+    from torchregister_tpu.ops.blocked import flow_tile_extent
+
+    ext = float(flow_tile_extent(flow))
+    # true within-tile extent: (TILE-1) * (1 + 5/239) ≈ 9.19
+    assert ext >= 9.0
+
+
 def test_warp_affine_fast_batched_shared_theta():
     """N volumes, one transform: folded into channels, still exact."""
     moving = _rand((3, 2, 24, 24, 24), 20)

@@ -111,7 +111,7 @@ def test_cohort_hlo_has_zero_collectives():
     from torchregister_tpu.losses.similarity import mse
 
     mesh = make_mesh((8,), ("data",))
-    run = _build_rigid_fn((mse,), (1.0,), 1e-3, 3, "adam", 2)
+    run = _build_rigid_fn((mse,), (1.0,), 1e-3, 3, "adam", 2).run
 
     def batched(movs, tgts, p0):
         return jax.vmap(lambda m, t, p: run(m[None], t[None], p))(movs, tgts, p0)

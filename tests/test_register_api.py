@@ -118,6 +118,27 @@ def test_save_load_transform(tmp_path):
         load_transform(p, tr.Register(mode="flow"))
 
 
+def test_save_load_transform_flow_key(tmp_path):
+    """Flow-mode save_transform stores the field under "flow" (regression:
+    it used "theta", which the CLI apply dispatcher misread as a matrix)."""
+    from torchregister_tpu.utils.io import load_pytree, load_transform, save_transform
+
+    moving = _blob((16, 16), seed=11)
+    target = _blob((16, 16), seed=12)
+    reg = tr.Register(mode="flow", criterion=["mse"], optimizer="adam")
+    reg.optim(moving, target, lr=2e-3, max_epochs=4, n=32)
+    p = str(tmp_path / "flow.npz")
+    save_transform(p, reg)
+    tree = load_pytree(p)
+    assert "flow" in tree and "theta" not in tree
+
+    reg2 = tr.Register(mode="flow")
+    load_transform(p, reg2)
+    np.testing.assert_allclose(np.asarray(reg2.theta), np.asarray(reg.theta))
+    with pytest.raises(ValueError, match="misapply"):
+        load_transform(p, tr.Register(mode="rigid"))
+
+
 def test_debug_flag_prints_summary(capsys):
     moving = _blob((16, 16), seed=8)
     reg = tr.Register(mode="affine", criterion=["mse"], debug=True)

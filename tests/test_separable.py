@@ -148,3 +148,59 @@ def test_separable_is_differentiable():
     g = jax.grad(loss)(jnp.asarray([0.05, 0.1, -0.1], jnp.float32))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_degenerate_pivot_falls_back_to_exact():
+    """85-95 degree rotations: factor_passes' pivots vanish. The public
+    wrapper must return the exact-path result (with a warning), never NaN
+    (VERDICT r2 weak #5)."""
+    import warnings
+
+    import pytest
+
+    src = _smooth((24, 24, 24), seed=9)
+    for ang in (85.0, 90.0, 95.0):
+        a = np.deg2rad(ang)
+        theta = rigid_theta(
+            jnp.asarray([a, 0.0, 0.0, 0.05, -0.02, 0.0], jnp.float32)
+        )[None]
+        with pytest.warns(RuntimeWarning, match="degenerate"):
+            ours = np.asarray(warp_affine_separable(theta, src))
+        ref = np.asarray(warp_affine(theta, src))
+        assert np.all(np.isfinite(ours))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+    # well-conditioned thetas: no warning, separable path still used
+    theta = rigid_theta(jnp.asarray([0.2, 0.1, -0.1, 0.05, 0.0, 0.0], jnp.float32))[None]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = warp_affine_separable(theta, src, max_shift=10)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_degenerate_pivot_traced_stays_finite():
+    """Under jit (traced theta) the clamped factorization must stay finite —
+    garbage support is acceptable there, NaN is not."""
+    import jax
+
+    from torchregister_tpu.ops.separable import _warp_affine_separable
+
+    src = _smooth((16, 16, 16), seed=10)
+
+    @jax.jit
+    def run(p):
+        return _warp_affine_separable(rigid_theta(p)[None], src, max_shift=8)
+
+    out = run(jnp.asarray([np.pi / 2, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_required_windows_degenerate_capped():
+    """Near-singular thetas report full-extent windows, not inf/crash."""
+    from torchregister_tpu.ops.separable import required_windows
+
+    theta = rigid_theta(
+        jnp.asarray([np.pi / 2, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    )[None]
+    req = required_windows(theta, (24, 26, 28))
+    assert all(isinstance(r, int) for r in req)
+    assert tuple(req) == (28, 26, 24)  # pass order x, y, z -> axis extents

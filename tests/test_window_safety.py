@@ -136,3 +136,76 @@ def test_flow_result_carries_max_disp():
         criterions=["mse"], check_disp=False,
     )
     assert np.isfinite(float(res.max_disp))
+
+
+def test_cohort_random_init_covers_or_warns():
+    """VERDICT r2 #4: an 8-sample random-init cohort whose worst member needs
+    a 0.8-rad window must either get auto-bumped windows that cover every
+    sample's init, or warn post-run — never silently truncate."""
+    import warnings
+
+    from torchregister_tpu.engines.rigid import init_rigid_params
+    from torchregister_tpu.parallel.cohort import _cohort_windows, register_cohort
+
+    shape = (32, 32, 32)
+    # window sizing itself: a batch with one 0.8-rad member must bump
+    thetas = [
+        rigid_theta_np(np.array([0.05, 0.0, 0.0, 0, 0, 0])),
+        rigid_theta_np(np.array([0.8, 0.0, 0.0, 0, 0, 0])),
+    ]
+    w = _cohort_windows(thetas, shape, None)
+    assert w is not None
+    worst = required_windows(thetas[1], shape)
+    assert all(wi >= min(ri, s) for wi, ri, s in zip(w, worst, (32,) * 3))
+    # and identity-only cohorts keep the shared default (None)
+    assert _cohort_windows([np.eye(3, 4)], shape, None) is None
+
+    # end-to-end: random-init cohort registers (or warns) — self-registration
+    # means every sample must walk its random init back toward identity
+    B = 4
+    movs = jnp.concatenate([_blob(shape, s) for s in range(B)])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = register_cohort(
+            movs, movs, mode="rigid", lr=2e-3, epochs=50,
+            criterions=["mse"], optimizer="adam", init="random", seed=3,
+        )
+    angs = np.abs(np.asarray(res.best_params)[:, :3]).max(axis=1)
+    warned = any("sweep window" in str(w_.message) for w_ in rec)
+    # random init is uniform [0,1): every sample starts misaligned; each must
+    # improve toward identity unless the window machinery warned
+    assert warned or (angs < 1.0).all()
+
+
+def test_cohort_exposes_engine_passthroughs():
+    """method/max_shift/stop_rel reach the engines (VERDICT r2 #4: the cohort
+    previously had no escape hatch)."""
+    from torchregister_tpu.parallel.cohort import register_cohort
+
+    shape = (24, 24, 24)
+    movs = jnp.concatenate([_blob(shape, s) for s in range(2)])
+    # explicit max_shift: runs and returns the batched result shape
+    res = register_cohort(
+        movs, movs, mode="rigid", lr=1e-3, epochs=4, criterions=["mse"],
+        optimizer="adam", max_shift=10, stop_rel=1e-3, patience=2,
+    )
+    assert res.best_theta.shape == (2, 1, 3, 4)
+    # exact method: no windows involved at all
+    res = register_cohort(
+        movs, movs, mode="rigid", lr=1e-3, epochs=3, criterions=["mse"],
+        optimizer="adam", method="exact",
+    )
+    assert res.best_theta.shape == (2, 1, 3, 4)
+
+
+def test_cohort_flow_warns_on_max_disp_overflow():
+    from torchregister_tpu.parallel.cohort import register_cohort
+
+    shape = (24, 24, 24)
+    movs = jnp.concatenate([_blob(shape, 1), _blob(shape, 2)])
+    tgts = jnp.concatenate([_blob(shape, 3), _blob(shape, 4)])
+    with pytest.warns(RuntimeWarning, match="max_disp"):
+        register_cohort(
+            movs, tgts, mode="flow", lr=5e-2, epochs=6, criterions=["mse"],
+            optimizer="adam", n=32, depth=1, max_disp=0,
+        )

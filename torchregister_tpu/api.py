@@ -135,6 +135,13 @@ class Register:
         target = self._put(target)
         if self.debug:
             self._preflight(moving, target)
+        # Live in-loop progress under debug: the reference shows a tqdm bar,
+        # prints rigid params during optimization (warpings.py:67,135-136,
+        # 138,161-169) and flow progress every 100 epochs (warpings.py:
+        # 222-229). Segmented chunk programs reproduce that information
+        # content at one host sync per decile/century, never per epoch.
+        matrix_progress = max(1, max_epochs // 10) if self.debug else None
+        flow_progress = min(100, max(1, max_epochs // 10)) if self.debug else None
         with jax.default_device(self.device) if self.device else _nullcontext():
             if self.mode == "flow":
                 _, res = flow_register(
@@ -143,6 +150,7 @@ class Register:
                     stop_crit=stop_crit, optimizer=self.optimizer,
                     key=jax.random.key(self.seed),
                     method=self.method, max_disp=self.max_disp,
+                    progress_every=flow_progress,
                 )
                 self.theta = res.flow
             elif self.mode == "affine":
@@ -151,6 +159,7 @@ class Register:
                     criterions=self.criterion, weights=self.weight,
                     grad_edges=self.grad_edges, optimizer=self.optimizer,
                     method=self.method, max_shift=self.max_shift,
+                    progress_every=matrix_progress,
                 )
                 self.theta = res.best_theta
             else:
@@ -160,6 +169,7 @@ class Register:
                     grad_edges=self.grad_edges, optimizer=self.optimizer,
                     init=self.init, key=jax.random.key(self.seed),
                     method=self.method, max_shift=self.max_shift,
+                    progress_every=matrix_progress,
                 )
                 self.theta = res.best_theta
         self.result = res

@@ -21,14 +21,21 @@ import jax.numpy as jnp
 from ..losses import resolve_criteria, weighted_loss
 from ..ops.edge import edge_filter
 from ..ops.resample import warp_affine
-from ..ops.separable import warp_affine_separable
+# the unchecked core: engine thetas evolve from near-identity (well-
+# conditioned factorization) and support overflow is covered by
+# check_sweep_windows; the public wrapper's host-side pivot check would
+# add a ~0.8 s readback per eager call on remote transports
+from ..ops.separable import _warp_affine_separable as warp_affine_separable
 from ..ops.transforms import identity_theta
 from .common import (
+    EngineFns,
     RegistrationResult,
     check_sweep_windows,
+    make_chunked_optimizer,
     make_optimizer,
     optimize_scan,
     resolve_sweep_windows,
+    run_with_progress,
 )
 
 
@@ -53,15 +60,16 @@ def _build_affine_fn(
             return warp_affine_separable(theta, moving, max_shift=max_shift)
         return warp_affine(theta, moving)
 
-    def run(moving, target, params0):
+    def loss_of(moving, target):
         def loss_fn(params):
             theta = params.reshape(1, ndim, ndim + 1)
             warped = warp(theta, moving)
             return loss(target, warped)
 
-        final_params, best_params, best_loss, losses, hist, steps = optimize_scan(
-            loss_fn, params0, tx, epochs, stop_rel=stop_rel, patience=patience
-        )
+        return loss_fn
+
+    def _to_result(raw):
+        final_params, best_params, best_loss, losses, hist, steps = raw
         return RegistrationResult(
             final_theta=final_params.reshape(1, ndim, ndim + 1),
             best_theta=best_params.reshape(1, ndim, ndim + 1),
@@ -73,7 +81,18 @@ def _build_affine_fn(
             steps=steps,
         )
 
-    return jax.jit(run)
+    def run(moving, target, params0):
+        return _to_result(optimize_scan(
+            loss_of(moving, target), params0, tx, epochs,
+            stop_rel=stop_rel, patience=patience,
+        ))
+
+    make_carry, run_chunk, finalize = make_chunked_optimizer(
+        loss_of, tx, epochs, stop_rel=stop_rel, patience=patience
+    )
+    return EngineFns(run=jax.jit(run), make_carry=make_carry,
+                     run_chunk=run_chunk,
+                     finalize=lambda carry: _to_result(finalize(carry)))
 
 
 def affine_register(
@@ -92,6 +111,7 @@ def affine_register(
     check_window: bool = True,
     stop_rel: float | None = None,
     patience: int = 25,
+    progress_every: int | None = None,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a full affine matrix.
 
@@ -127,11 +147,16 @@ def affine_register(
             ndim, ndim + 1
         )
         windows = resolve_sweep_windows(theta0_np, spatial, None)
-    run = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
+    fns = _build_affine_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
                            optimizer, ndim, method, windows,
                            None if stop_rel is None else float(stop_rel),
                            int(patience))
-    result = run(moving, target, params0)
+    if progress_every:
+        result = run_with_progress(fns, moving, target, params0,
+                                   int(epochs), int(progress_every),
+                                   "affine_register")
+    else:
+        result = fns.run(moving, target, params0)
     if method == "exact":
         from ..ops.blocked import warp_affine_fast
 

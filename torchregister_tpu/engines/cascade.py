@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 from ..ops.resample import warp_affine, warp_flow
 from ..ops.resize import downsample_avg
-from ..ops.separable import warp_affine_separable, warp_flow_separable
+# the unchecked core: engine thetas evolve from near-identity (well-
+# conditioned factorization) and support overflow is covered by
+# check_sweep_windows; the public wrapper's host-side pivot check would
+# add a ~0.8 s readback per eager call on remote transports
+from ..ops.separable import _warp_affine_separable as warp_affine_separable
+from ..ops.separable import warp_flow_separable
 from ..ops.transforms import compose_theta, identity_theta
 from ..utils.pyramid import build_pyramid, upsample_flow
 from .affine import affine_register

@@ -63,7 +63,13 @@ def resolve_sweep_windows(
         return max_shift if isinstance(max_shift, int) else tuple(max_shift)
     from ..ops.separable import required_windows
 
-    req = required_windows(init_theta_np, spatial)
+    return windows_from_required(required_windows(init_theta_np, spatial), spatial)
+
+
+def windows_from_required(req, spatial) -> tuple[int, ...] | None:
+    """Quantized sweep windows covering a concrete per-pass requirement
+    (the shared core of :func:`resolve_sweep_windows`; cohort engines feed the
+    elementwise max requirement over their batch of inits)."""
     # pass order (x, y[, z]) == reversed axis order, matching factor_passes
     axes = list(range(len(spatial)))[::-1]
     default = [max(8, -(-spatial[a] // 4)) for a in axes]
@@ -81,6 +87,44 @@ def resolve_sweep_windows(
         bumped |= k != d
         out.append(k)
     return tuple(out) if bumped else None  # None keeps the shared jit cache
+
+
+def check_sweep_windows_batch(thetas, spatial, used, label: str) -> None:
+    """Vectorized post-run window guard for cohort engines: one warning naming
+    every sample whose recovered theta outgrew the sweep windows the cohort
+    optimized with (mirror of :func:`check_sweep_windows`; ONE host readback
+    for the whole batch)."""
+    import warnings
+
+    import numpy as np
+
+    from ..ops.separable import required_windows
+
+    if isinstance(thetas, jax.core.Tracer):
+        return
+    axes = list(range(len(spatial)))[::-1]
+    if used is None:
+        used = [max(8, -(-spatial[a] // 4)) for a in axes]
+    elif isinstance(used, int):
+        used = [used] * len(spatial)
+    thetas_np = np.asarray(jax.device_get(thetas), np.float64)
+    bad = []
+    for b in range(thetas_np.shape[0]):
+        req = required_windows(thetas_np[b], spatial)
+        if any(r > u for r, u in zip(req, used)):
+            bad.append((b, req))
+    if bad:
+        shown = ", ".join(f"#{b} needs {list(r)}" for b, r in bad[:5])
+        more = f" (+{len(bad) - 5} more)" if len(bad) > 5 else ""
+        warnings.warn(
+            f"{label}: {len(bad)} of {thetas_np.shape[0]} recovered transforms "
+            f"outgrew the sweep windows {list(used)}: {shown}{more}; "
+            "displacements beyond the window contribute zero "
+            "(ops/separable.py:24-27). Pass a larger max_shift or "
+            "method='exact'.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def check_sweep_windows(theta, spatial, used, label: str) -> None:
@@ -109,6 +153,129 @@ def check_sweep_windows(theta, spatial, used, label: str) -> None:
             RuntimeWarning,
             stacklevel=3,
         )
+
+
+class EngineFns(NamedTuple):
+    """Compiled entry points of a matrix engine build.
+
+    ``run`` is the usual one-shot program (whole loop on device). The other
+    three power segmented host progress (reference tqdm/param prints,
+    warpings.py:67,135-136,138,161-169, without per-epoch host syncs): ONE
+    compiled chunk program re-invoked with a moving ``end`` index — same
+    pattern as the flow engine's ``progress_every`` (engines/flow.py)."""
+
+    run: Callable
+    make_carry: Callable
+    run_chunk: Callable
+    finalize: Callable
+
+
+def make_chunked_optimizer(
+    loss_of: Callable,
+    tx: optax.GradientTransformation,
+    epochs: int,
+    stop_rel: float | None = None,
+    patience: int = 25,
+):
+    """Segmented variant of :func:`optimize_scan` for host progress reporting.
+
+    ``loss_of(moving, target)`` returns the per-params loss closure. Returns
+    jitted ``(make_carry, run_chunk, finalize)``: ``run_chunk(moving, target,
+    carry, end)`` advances the while-loop to a *dynamic* epoch index (no
+    retrace per segment); ``finalize`` unpacks the carry into
+    :func:`optimize_scan`'s result tuple. Plateau early-stop (``stop_rel``)
+    composes with segmenting exactly as in the one-shot path.
+    """
+
+    def make_carry(params0):
+        flat0 = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(params0)])
+        return (
+            params0,
+            tx.init(params0),
+            jnp.asarray(jnp.inf, jnp.float32),
+            params0,
+            jnp.int32(0),
+            jnp.full((epochs,), jnp.nan, jnp.float32),
+            jnp.full((epochs, flat0.size), jnp.nan, jnp.float32),
+            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.int32(0),
+        )
+
+    def run_chunk(moving, target, carry, end):
+        loss_fn = loss_of(moving, target)
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        def cond(carry):
+            _, _, best_loss, _, i, _, _, ref_loss, since = carry
+            ok = i < end
+            if stop_rel is not None:
+                plateaued = (since >= patience) & (
+                    best_loss > ref_loss * (1.0 - stop_rel)
+                )
+                ok = ok & ~plateaued
+            return ok
+
+        def body(carry):
+            params, opt_state, best_loss, best_params, i, losses, hist, ref_loss, since = carry
+            loss_val, grads = grad_fn(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            better = loss_val < best_loss
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(better, p, b), best_params, params
+            )
+            new_best = jnp.where(better, loss_val, best_loss)
+            losses = jax.lax.dynamic_update_slice(losses, loss_val[None], (i,))
+            pre_flat = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(params)])
+            hist = jax.lax.dynamic_update_slice(hist, pre_flat[None], (i, 0))
+            if stop_rel is not None:
+                improved = new_best < ref_loss * (1.0 - stop_rel)
+                ref_loss = jnp.where(improved, new_best, ref_loss)
+                since = jnp.where(improved, 0, since + 1)
+            return (new_params, opt_state, new_best, best_params, i + 1,
+                    losses, hist, ref_loss, since)
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    def finalize(carry):
+        params, _, best_loss, best_params, i, losses, hist, _, _ = carry
+        return params, best_params, best_loss, losses, hist, i
+
+    return jax.jit(make_carry), jax.jit(run_chunk), jax.jit(finalize)
+
+
+def run_with_progress(
+    engine_fns: EngineFns,
+    moving,
+    target,
+    params0,
+    epochs: int,
+    progress_every: int,
+    label: str,
+    param_fmt: Callable | None = None,
+):
+    """Drive an engine in segments, printing loss + current raw parameters
+    after each chunk — the reference's tqdm + in-loop param prints
+    (warpings.py:67,135-136,138,161-169) at one host sync per segment."""
+    import numpy as np
+
+    carry = engine_fns.make_carry(params0)
+    for end in range(progress_every, epochs + progress_every, progress_every):
+        end = min(end, epochs)
+        carry = engine_fns.run_chunk(moving, target, carry, jnp.int32(end))
+        i_done = int(carry[4])
+        loss_last = float(carry[2])
+        params_now = np.concatenate(
+            [np.ravel(np.asarray(x)) for x in jax.tree.leaves(carry[0])]
+        )
+        ptxt = (param_fmt(params_now) if param_fmt
+                else np.array2string(params_now, precision=4, separator=", "))
+        print(f"[{label}] epoch {i_done}/{epochs} best_loss={loss_last:.6g} "
+              f"params={ptxt}", flush=True)
+        if i_done < end:
+            print(f"[{label}] plateau early-stop at epoch {i_done}", flush=True)
+            break
+    return engine_fns.finalize(carry)
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:

@@ -19,14 +19,21 @@ import jax.numpy as jnp
 from ..losses import resolve_criteria, weighted_loss
 from ..ops.edge import edge_filter
 from ..ops.resample import warp_affine
-from ..ops.separable import warp_affine_separable
+# the unchecked core: engine thetas evolve from near-identity (well-
+# conditioned factorization) and support overflow is covered by
+# check_sweep_windows; the public wrapper's host-side pivot check would
+# add a ~0.8 s readback per eager call on remote transports
+from ..ops.separable import _warp_affine_separable as warp_affine_separable
 from ..ops.transforms import rigid_theta, rigid_theta_np
 from .common import (
+    EngineFns,
     RegistrationResult,
     check_sweep_windows,
+    make_chunked_optimizer,
     make_optimizer,
     optimize_scan,
     resolve_sweep_windows,
+    run_with_progress,
 )
 
 
@@ -67,15 +74,16 @@ def _build_rigid_fn(
             return warp_affine_separable(theta, moving, max_shift=max_shift)
         return warp_affine(theta, moving)
 
-    def run(moving, target, params0):
+    def loss_of(moving, target):
         def loss_fn(params):
             theta = rigid_theta(params)[None]  # [1, d, d+1]
             warped = warp(theta, moving)
             return loss(target, warped)
 
-        final_params, best_params, best_loss, losses, hist, steps = optimize_scan(
-            loss_fn, params0, tx, epochs, stop_rel=stop_rel, patience=patience
-        )
+        return loss_fn
+
+    def _to_result(raw):
+        final_params, best_params, best_loss, losses, hist, steps = raw
         return RegistrationResult(
             final_theta=rigid_theta(final_params)[None],
             best_theta=rigid_theta(best_params)[None],
@@ -87,7 +95,18 @@ def _build_rigid_fn(
             steps=steps,
         )
 
-    return jax.jit(run)
+    def run(moving, target, params0):
+        return _to_result(optimize_scan(
+            loss_of(moving, target), params0, tx, epochs,
+            stop_rel=stop_rel, patience=patience,
+        ))
+
+    make_carry, run_chunk, finalize = make_chunked_optimizer(
+        loss_of, tx, epochs, stop_rel=stop_rel, patience=patience
+    )
+    return EngineFns(run=jax.jit(run), make_carry=make_carry,
+                     run_chunk=run_chunk,
+                     finalize=lambda carry: _to_result(finalize(carry)))
 
 
 def rigid_register(
@@ -108,6 +127,7 @@ def rigid_register(
     check_window: bool = True,
     stop_rel: float | None = None,
     patience: int = 25,
+    progress_every: int | None = None,
 ) -> tuple[jnp.ndarray, RegistrationResult]:
     """Register ``moving [1,1,*S]`` onto ``target`` with a rigid transform.
 
@@ -119,6 +139,11 @@ def rigid_register(
     ``max_shift`` (int or per-pass sequence) bounds the separable sweep; by
     default it is auto-bumped to cover the concrete init theta, and
     ``check_window`` warns post-run if the recovered theta outgrew it.
+
+    ``progress_every=N`` prints epoch/loss/current-params every N epochs — the
+    reference's in-loop tqdm + param prints (warpings.py:135-136,138,161-169)
+    as one compiled chunk program re-invoked with a moving end index: one host
+    sync per segment, never per epoch.
     """
     if grad_edges:
         moving = edge_filter(moving)
@@ -136,11 +161,16 @@ def rigid_register(
         windows = None  # traced init (cascade): keep the shared default
     else:
         windows = resolve_sweep_windows(rigid_theta_np(init_params), spatial, None)
-    run = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
+    fns = _build_rigid_fn(tuple(criteria), tuple(w), float(lr), int(epochs),
                           optimizer, ndim, method, windows,
                           None if stop_rel is None else float(stop_rel),
                           int(patience))
-    result = run(moving, target, init_params)
+    if progress_every:
+        result = run_with_progress(fns, moving, target, init_params,
+                                   int(epochs), int(progress_every),
+                                   "rigid_register")
+    else:
+        result = fns.run(moving, target, init_params)
     if method == "exact":
         from ..ops.blocked import warp_affine_fast
 

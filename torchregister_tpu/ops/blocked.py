@@ -93,12 +93,15 @@ def flow_tile_extent(flow: jnp.ndarray) -> jnp.ndarray:
     spatial = flow.shape[2:]
     grids = [-(-s // TILE) for s in spatial]
     ident = [
-        jnp.arange(spatial[i], dtype=flow.dtype).reshape(
+        jnp.arange(spatial[i], dtype=jnp.float32).reshape(
             tuple(spatial[i] if j == i else 1 for j in range(3))
         )
         for i in range(3)
     ]
-    q = flow[0] + jnp.stack(jnp.broadcast_arrays(*ident))  # [3, *S]
+    # f32 coordinate math: a bf16 flow quantizes identity+flow to ~1-2 voxels
+    # near coordinate 240, which can under-estimate the extent past the +3
+    # margin and under-size the block.
+    q = flow[0].astype(jnp.float32) + jnp.stack(jnp.broadcast_arrays(*ident))
     pads = [(0, grids[i] * TILE - spatial[i]) for i in range(3)]
     # edge-replicate so padding voxels never widen a tile's extent
     qp = jnp.pad(q, [(0, 0)] + pads, mode="edge")
@@ -221,9 +224,19 @@ def warp_flow_blocked(
     o = tile_org[:, None, :] + loc[None]  # [T, V, 3] int
     # flow is [1, 3, *S] with channel i displacing axis i (voxel units)
     Sp = [g * TILE for g in grids]
+    # Edge-pad (NOT zero-pad): in a partial boundary tile, zero-flow pad
+    # voxels sample at identity coordinates and drag the per-tile block
+    # origin (min over the tile) toward identity, silently stripping
+    # interpolation support from *real* voxels whose displacement is large.
+    # With edge replication pad-voxel coords only ever exceed the edge
+    # voxel's (pads are on the high side), so the origin stays governed by
+    # real voxels; any pad-voxel garbage lands outside ``spatial`` and is
+    # sliced away by ``_untile``. This also matches how
+    # :func:`flow_tile_extent` (which sizes ``block``) measures the extent.
     fpad = jnp.pad(
         flow[0],
         ((0, 0),) + tuple((0, Sp[i] - spatial[i]) for i in range(3)),
+        mode="edge",
     )
     ftiles = fpad.reshape(
         3, grids[0], TILE, grids[1], TILE, grids[2], TILE

@@ -93,19 +93,41 @@ def affine_to_index_map(
     return M, t
 
 
+_PIVOT_EPS = 1e-4  # absolute clamp on factorization divisors under trace
+_PIVOT_REL = 0.15  # scaled-minor threshold below which the factorization is
+# numerically degenerate (rotation near 90 deg); eager wrappers fall back
+
+
+def _safe_div_den(den):
+    """Clamp a factorization divisor away from zero (sign-preserving).
+
+    The Gauss factorization divides by leading principal minors; at/near a
+    90-degree rotation a pivot crosses zero and an unguarded division emits
+    NaN/inf that silently poisons the whole warp. Under trace the clamp keeps
+    everything finite (engines only feed near-identity residuals where the
+    clamp never binds); concrete callers are routed to the exact path by
+    :func:`min_scaled_pivot` before ever reaching a binding clamp.
+    """
+    mag = jnp.maximum(jnp.abs(den), _PIVOT_EPS)
+    return jnp.where(den < 0, -mag, mag)
+
+
 def factor_passes(M: jnp.ndarray, t: jnp.ndarray):
     """Factor ``s = M o + t`` into per-axis passes (application order:
     x-pass first, then y, then z).
 
     Returns a list of ``(coef [d], offset)`` — pass ``k`` (for axis ``a_k``)
     samples its input along ``a_k`` at ``q = coef . o + offset``. Requires the
-    leading principal minors of ``M`` to be nonzero (true near identity).
+    leading principal minors of ``M`` to be well away from zero (true near
+    identity); divisors are clamped to ``+-1e-4`` so a degenerate minor yields
+    finite (but support-truncated) output, never NaN — concrete callers should
+    gate on :func:`min_scaled_pivot` and use the exact path instead.
     """
     d = M.shape[0]
     if d == 2:
         # A = E_x . E_y ; E_y row0 = (M00, M01 | t0)
         g = (M[0], t[0])
-        e0 = M[1, 0] / M[0, 0]
+        e0 = M[1, 0] / _safe_div_den(M[0, 0])
         e1 = M[1, 1] - e0 * M[0, 1]
         et = t[1] - e0 * t[0]
         e = (jnp.stack([e0, e1]), et)
@@ -113,13 +135,13 @@ def factor_passes(M: jnp.ndarray, t: jnp.ndarray):
     if d == 3:
         # A = E_x . E_y . E_z ; E_z row0 = A row0.
         g = (M[0], t[0])
-        f0 = M[1, 0] / M[0, 0]
+        f0 = M[1, 0] / _safe_div_den(M[0, 0])
         f1 = M[1, 1] - f0 * M[0, 1]
         f2 = M[1, 2] - f0 * M[0, 2]
         ft = t[1] - f0 * t[0]
         f = (jnp.stack([f0, f1, f2]), ft)
         # Solve [e0 e1] [[M00, M01], [M10, M11]] = [M20, M21]
-        det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+        det = _safe_div_den(M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0])
         e0 = (M[2, 0] * M[1, 1] - M[2, 1] * M[1, 0]) / det
         e1 = (M[2, 1] * M[0, 0] - M[2, 0] * M[0, 1]) / det
         e2 = M[2, 2] - e0 * M[0, 2] - e1 * M[1, 2]
@@ -127,6 +149,29 @@ def factor_passes(M: jnp.ndarray, t: jnp.ndarray):
         e = (jnp.stack([e0, e1, e2]), et)
         return [(2, e), (1, f), (0, g)]
     raise ValueError(f"only 2D/3D supported, got d={d}")
+
+
+def min_scaled_pivot(theta_np, spatial, align_corners: bool = False) -> float:
+    """Smallest scale-normalized leading principal minor of the index map —
+    the factorization's conditioning measure (host numpy, no device ops).
+
+    ``< _PIVOT_REL`` (e.g. rotations within ~10 deg of 90) means the
+    per-axis factorization is degenerate and the separable path must not be
+    trusted; use the exact resampler.
+    """
+    theta = np.asarray(theta_np, np.float64)
+    if theta.ndim == 3:
+        theta = theta[0]
+    d = len(spatial)
+    if theta.ndim == 1:
+        theta = theta.reshape(d, d + 1)
+    M, _ = _index_map_np(theta, spatial, align_corners)
+    s = max(float(np.max(np.abs(M))), 1e-30)
+    p1 = abs(float(M[0, 0])) / s
+    if d == 2:
+        return p1
+    det2 = float(M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0])
+    return min(p1, abs(det2) / (s * s))
 
 
 # -------------------------------------------------------- window requirements
@@ -194,6 +239,12 @@ def required_windows(theta, spatial, align_corners: bool = False) -> tuple[int, 
     if theta.ndim == 1:
         theta = theta.reshape(d, d + 1)
     M, t = _index_map_np(theta, spatial, align_corners)
+    if min_scaled_pivot(theta, spatial, align_corners) < _PIVOT_REL:
+        # Degenerate factorization (near-90-deg rotation): the elimination
+        # divides by a vanishing minor and the pass displacements blow up —
+        # report the maximum useful window (full axis extent) instead of
+        # inf/garbage so callers cap/warn deterministically.
+        return tuple(int(spatial[a]) for a in range(d - 1, -1, -1))
     out = []
     for axis, (coef, offset) in _factor_passes_np(M, t):
         disp = np.asarray(coef, np.float64).copy()
@@ -203,7 +254,8 @@ def required_windows(theta, spatial, align_corners: bool = False) -> tuple[int, 
             ext = disp[b] * (spatial[b] - 1)
             lo += min(0.0, ext)
             hi += max(0.0, ext)
-        out.append(int(np.ceil(max(abs(lo), abs(hi)))))
+        ext_max = max(abs(lo), abs(hi))
+        out.append(int(np.ceil(min(ext_max, float(spatial[axis])))))
     return tuple(out)
 
 
@@ -338,21 +390,16 @@ def _axis_coord_grid(coef: jnp.ndarray, offset, spatial) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("align_corners", "max_shift"))
-def warp_affine_separable(
+def _warp_affine_separable(
     theta: jnp.ndarray,
     moving: jnp.ndarray,
     align_corners: bool = False,
     max_shift: int | Sequence[int] | None = None,
 ) -> jnp.ndarray:
-    """Affine warp via per-axis sweep passes (fast path for optimization
-    loops; see module docstring for the exactness trade-off vs
-    :func:`ops.resample.warp_affine`).
-
-    ``max_shift``: static per-axis sweep bound in voxels (scalar or per-pass
-    sequence). Default: ``max(8, ceil(0.25 * S_axis))`` — covers rotations to
-    ~0.25 rad plus the reference's bounded translations at that axis' scale.
-    Batch size must be 1 (one theta), matching the engines' usage.
-    """
+    """Jitted separable-warp core — no conditioning checks (engines/cascades
+    call this directly: their thetas evolve from near-identity where the
+    factorization is well-conditioned, and a host readback per call would
+    serialize eager cascade levels at ~0.8 s each on remote transports)."""
     theta = as_matrix(theta)
     assert theta.shape[0] == 1, "separable path expects a single transform"
     spatial = moving.shape[2:]
@@ -373,6 +420,49 @@ def warp_affine_separable(
         q = _axis_coord_grid(coef, offset, spatial)
         out = sweep_resample_axis(out, q, axis, K)
     return out
+
+
+def warp_affine_separable(
+    theta: jnp.ndarray,
+    moving: jnp.ndarray,
+    align_corners: bool = False,
+    max_shift: int | Sequence[int] | None = None,
+) -> jnp.ndarray:
+    """Affine warp via per-axis sweep passes (fast path for optimization
+    loops; see module docstring for the exactness trade-off vs
+    :func:`ops.resample.warp_affine`).
+
+    ``max_shift``: static per-axis sweep bound in voxels (scalar or per-pass
+    sequence). Default: ``max(8, ceil(0.25 * S_axis))`` — covers rotations to
+    ~0.25 rad plus the reference's bounded translations at that axis' scale.
+    Batch size must be 1 (one theta), matching the engines' usage.
+
+    A *concrete* theta is conditioning-checked on the host first: at/near a
+    90-degree rotation the per-axis factorization's pivots vanish
+    (:func:`factor_passes`) and the sweep would silently lose support, so such
+    thetas fall back to the exact resampler with a RuntimeWarning (one small
+    host readback; traced thetas skip the check — the clamped factorization
+    keeps them finite).
+    """
+    if not isinstance(theta, jax.core.Tracer):
+        spatial = moving.shape[2:]
+        theta_np = np.asarray(jax.device_get(theta), np.float64)
+        pivot = min_scaled_pivot(theta_np, spatial, align_corners)
+        if pivot < _PIVOT_REL:
+            import warnings
+
+            from .resample import warp_affine
+
+            warnings.warn(
+                f"warp_affine_separable: theta's per-axis factorization is "
+                f"degenerate (scaled pivot {pivot:.3g} < {_PIVOT_REL}; e.g. a "
+                "near-90-degree rotation) — falling back to the exact "
+                "resampler (ops/separable.py factor_passes).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return warp_affine(theta, moving, align_corners)
+    return _warp_affine_separable(theta, moving, align_corners, max_shift)
 
 
 @partial(jax.jit, static_argnames=("max_disp",))

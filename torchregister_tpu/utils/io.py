@@ -35,11 +35,18 @@ def load_pytree(path: str) -> Any:
 
 
 def save_transform(path: str, register) -> None:
-    """Persist a fitted ``Register``'s transform (theta matrix or flow field)."""
+    """Persist a fitted ``Register``'s transform (theta matrix or flow field).
+
+    Flow fields are stored under the ``flow`` key (matrix thetas under
+    ``theta``) so the CLI ``apply`` command — which dispatches on key names,
+    matching the files the ``register`` command writes — applies each through
+    the right resampler instead of crashing on a field-as-matrix reshape.
+    """
     if register.theta is None:
         raise ValueError("Register has no fitted transform to save")
+    key = "flow" if register.mode == "flow" else "theta"
     save_pytree(path, {"mode": np.asarray(register.mode),
-                       "theta": np.asarray(register.theta)})
+                       key: np.asarray(register.theta)})
 
 
 def load_transform(path: str, register) -> None:
@@ -65,4 +72,9 @@ def load_transform(path: str, register) -> None:
             f"mode={register.mode!r} and would misapply it. Construct "
             f"Register(mode={saved_mode!r}) to load it."
         )
-    register.theta = jnp.asarray(tree["theta"])
+    # Current files keep flow fields under "flow"; fall back to "theta" for
+    # files written before that split.
+    payload = tree.get("flow", tree.get("theta"))
+    if payload is None:
+        raise ValueError(f"{path}: no theta/flow entry in transform file")
+    register.theta = jnp.asarray(payload)
