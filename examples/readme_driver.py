@@ -37,10 +37,56 @@ def phantom(shape=(96, 96, 96), seed=0) -> np.ndarray:
     return vol.astype(np.float32)
 
 
+def save_panel(path, moving, target, warped, flow_mag=None):
+    """Qualitative golden: the reference showcases before/after result panels
+    and loss curves as images (reference assets/, README.md:4-17). Renders the
+    central axial slice of moving / target / |target-moving| / warped /
+    |target-warped| (+ flow magnitude when present) to one PNG.
+
+    matplotlib is an optional dependency (same stance as the reference's
+    debug plots); returns False when unavailable.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+    except Exception:
+        print("matplotlib unavailable; skipping panel render")
+        return False
+
+    def mid(x):
+        x = np.asarray(x)[0, 0]
+        return x[x.shape[0] // 2] if x.ndim == 3 else x
+
+    cols = [
+        ("moving", mid(moving), "gray"),
+        ("target", mid(target), "gray"),
+        ("|target - moving|", np.abs(mid(target) - mid(moving)), "magma"),
+        ("registered", mid(warped), "gray"),
+        ("|target - registered|", np.abs(mid(target) - mid(warped)), "magma"),
+    ]
+    if flow_mag is not None:
+        cols.append(("|flow|", mid(flow_mag), "viridis"))
+    fig, axes = plt.subplots(1, len(cols), figsize=(3 * len(cols), 3.2))
+    emax = max(cols[2][1].max(), cols[4][1].max(), 1e-6)
+    for ax, (title, img, cmap) in zip(axes, cols):
+        kw = {"vmin": 0.0, "vmax": emax} if cmap == "magma" else {}
+        ax.imshow(img, cmap=cmap, **kw)
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    print(f"wrote {path}")
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nifti", help="optional .nii/.nii.gz volume to register")
     ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--panel", help="write a before/after/flow PNG panel here")
     args = ap.parse_args()
 
     if args.nifti:
@@ -83,6 +129,11 @@ def main():
     print(f"RMSE before {rmse0:.5f} -> after cascade {rmse:.5f} "
           f"({100 * (1 - rmse / rmse0):.1f}% reduction)")
     print("flow magnitude stats:", float(flow_mag.mean()), float(flow_mag.max()))
+
+    if args.panel:
+        # flow field [1, d, *S] -> per-voxel magnitude [1, 1, *S]
+        mag = jnp.linalg.norm(warping3.theta, axis=1, keepdims=True)
+        save_panel(args.panel, moving, target, warped, mag)
 
 
 if __name__ == "__main__":
