@@ -42,16 +42,17 @@ def make_pair(shape=(240, 240, 240), seed=0):
 
 
 def pallas_selftest() -> str:
-    """Value-equality gate for the compiled Pallas sweep kernel.
+    """Value-equality gate for the compiled Pallas kernels (sweep + conv).
 
-    CI exercises the kernel only in CPU interpret mode; benchmarks exercise
-    the TPU-compiled roll-carry kernel but measure speed, not values. This
-    runs the compiled kernel against the `_sweep_fori` XLA oracle on the
-    bench shape (one bad lane rotation would ship silently otherwise).
+    CI exercises the kernels only in CPU interpret mode; benchmarks exercise
+    the TPU-compiled kernels but measure speed, not values. This runs each
+    compiled kernel against its XLA oracle on bench-scale shapes (one bad
+    lane rotation would ship silently otherwise).
     """
     import jax
     import jax.numpy as jnp
 
+    from torchregister_tpu.ops.pallas.conv3d import conv3x3x3
     from torchregister_tpu.ops.pallas.sweep import sweep_lastaxis
     from torchregister_tpu.ops.separable import _sweep_fori
 
@@ -67,9 +68,26 @@ def pallas_selftest() -> str:
         got = sweep_lastaxis(src, q, K)
         want = _sweep_fori(src[None, None], q[None, None], 1, K)[0, 0]
         err = float(jnp.max(jnp.abs(got - want)))
-        return "pass" if err < 1e-5 else f"fail:maxdiff={err:.3e}"
+        if err >= 1e-5:
+            return f"fail:sweep_maxdiff={err:.3e}"
     except Exception as e:  # pragma: no cover - only on kernel regression
-        return f"fail:{type(e).__name__}"
+        return f"fail:sweep_{type(e).__name__}"
+
+    try:
+        x = jax.random.normal(jax.random.key(1), (8, 40, 60, 70), jnp.float32)
+        w = jax.random.normal(jax.random.key(2), (3, 3, 3, 8, 8), jnp.float32) * 0.2
+        got = conv3x3x3(x, w)
+        want = jax.lax.conv_general_dilated(
+            x[None], w.transpose(4, 3, 0, 1, 2), (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+        rel = float(jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-9))
+        if rel >= 1e-4:
+            return f"fail:conv_relerr={rel:.3e}"
+    except Exception as e:  # pragma: no cover - only on kernel regression
+        return f"fail:conv_{type(e).__name__}"
+    return "pass"
 
 
 def make_flow_truth_pair(shape=(240, 240, 240), seed=1, max_disp=7.0,

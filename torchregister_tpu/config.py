@@ -56,6 +56,7 @@ class RigidConfig:
     check_window: bool = True
     stop_rel: Optional[float] = None  # plateau early stop (TPU extension)
     patience: int = 25
+    progress_every: Optional[int] = None  # segmented in-loop progress prints
 
     def run(self, moving, target, **overrides):
         from .engines.rigid import rigid_register
@@ -80,6 +81,7 @@ class AffineConfig:
     check_window: bool = True
     stop_rel: Optional[float] = None
     patience: int = 25
+    progress_every: Optional[int] = None  # segmented in-loop progress prints
 
     def run(self, moving, target, **overrides):
         from .engines.affine import affine_register

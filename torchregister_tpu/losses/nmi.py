@@ -79,16 +79,112 @@ def kde_pdf(
     return acc / (h * L)
 
 
-def get_pdf(data: jnp.ndarray, steps: int = 256, bandwidth: float = 2.0) -> jnp.ndarray:
+_FINE_BINS = 1024  # binned-KDE splat grid (A x B two-level one-hot factors)
+_FINE_A = 32
+_FINE_B = 32
+
+
+def _binned_histogram(signals: jnp.ndarray, x0, xe, chunk: int = 4096) -> jnp.ndarray:
+    """Linear-splat soft histogram of ``signals [N, L]`` onto ``_FINE_BINS``
+    uniform bins spanning ``[x0, xe]`` — differentiable w.r.t. ``signals``
+    (gradient flows through the two splat weights).
+
+    TPU shape: a per-element scatter-add would serialize (~1e8 elem/s); the
+    splat is instead TWO-LEVEL one-hot contractions — ``idx = a*B + b`` with
+    one-hots over ``a`` and ``b`` separately, combined by an MXU matmul
+    ``[A, chunk] @ [chunk, B]`` — O(L*(A+B)) compares + O(L*G) MXU MACs,
+    no per-voxel transcendental.
+    """
+    n, L = signals.shape
+    G = _FINE_BINS
+    den = xe - x0
+    den = jnp.where(jnp.abs(den) > 0, den, jnp.ones_like(den))
+    delta = den / (G - 1)
+
+    def splat_chunk(sig):  # [n, c] -> [n, G]
+        p = jnp.clip((sig - x0) / delta, 0.0, G - 1.0)
+        i0 = jnp.clip(jnp.floor(p), 0.0, G - 2.0)
+        f = p - i0  # gradient w.r.t. sig rides here (d floor = 0)
+        idx = i0.astype(jnp.int32)
+        out = jnp.zeros((n, G), signals.dtype)
+        ar = jnp.arange(_FINE_A, dtype=jnp.int32)
+        br = jnp.arange(_FINE_B, dtype=jnp.int32)
+        for off, w in ((0, 1.0 - f), (1, f)):
+            k = idx + off
+            oh_a = (k[..., None] // _FINE_B == ar).astype(signals.dtype)
+            oh_b = (k[..., None] % _FINE_B == br).astype(signals.dtype)
+            h2 = jnp.einsum(
+                "nca,ncb->nab", oh_a * w[..., None], oh_b,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out = out + h2.reshape(n, G)
+        return out
+
+    if L <= chunk:
+        return splat_chunk(signals)
+    main = (L // chunk) * chunk
+    body = signals[:, :main].reshape(n, L // chunk, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def step(acc, sig_chunk):
+        return acc + splat_chunk(sig_chunk), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((n, G), signals.dtype), body)
+    if main < L:
+        acc = acc + splat_chunk(signals[:, main:])
+    return acc
+
+
+def kde_pdf_binned(
+    signals: jnp.ndarray, xis: jnp.ndarray, bandwidth: float
+) -> jnp.ndarray:
+    """Binned KDE: splat to a fine histogram, then one tiny ``[G, steps]``
+    kernel contraction. Exact up to the linear-splat quadrature error
+    O((delta_fine / h)^2) — the auto path engages only when
+    ``h >= 4 * delta_fine`` (see :func:`get_pdf`), keeping it under ~0.1%."""
+    n, L = signals.shape
+    h = float(bandwidth)
+    x0, xe = xis[0], xis[-1]
+    H = _binned_histogram(signals, x0, xe)
+    grid = jnp.linspace(0.0, 1.0, _FINE_BINS, dtype=signals.dtype) * (xe - x0) + x0
+    u = (grid[:, None] - xis[None, :]) / h  # [G, steps]
+    kmat = _INV_2PI * jnp.exp(-0.5 * u * u)
+    return H @ kmat / (h * L)
+
+
+def get_pdf(
+    data: jnp.ndarray,
+    steps: int = 256,
+    bandwidth: float = 2.0,
+    method: str = "auto",
+) -> jnp.ndarray:
     """Reference ``get_pdf`` (utils.py:41-53): flatten ``[N, ...] -> [N, L]``,
-    linspace sample points over the global (max -> min, descending) range."""
+    linspace sample points over the global (max -> min, descending) range.
+
+    ``method='auto'`` (default) picks the fast binned KDE when the bandwidth
+    resolves the fine splat grid (``h >= 4 * |range| / (G-1)`` — true for any
+    normalized-intensity image at the reference's bandwidths) and the exact
+    per-voxel accumulation otherwise, as ONE runtime ``lax.cond`` — data with
+    huge intensity ranges degrades gracefully to the exact path instead of a
+    wrong density. ``'exact'``/``'binned'`` force a path.
+    """
     signals = data.reshape(data.shape[0], -1)
     # Bounds are detached: the reference reads them via ``.item()``
     # (utils.py:45-46), so no gradient flows through the sample-point grid.
     hi = jax.lax.stop_gradient(jnp.max(signals))
     lo = jax.lax.stop_gradient(jnp.min(signals))
     xis = jnp.linspace(0.0, 1.0, steps, dtype=signals.dtype) * (lo - hi) + hi
-    return kde_pdf(signals, xis, bandwidth)
+    if method == "exact":
+        return kde_pdf(signals, xis, bandwidth)
+    if method == "binned":
+        return kde_pdf_binned(signals, xis, bandwidth)
+    fine = jnp.abs(lo - hi) / (_FINE_BINS - 1)
+    return jax.lax.cond(
+        float(bandwidth) >= 4.0 * fine,
+        lambda s: kde_pdf_binned(s, xis, bandwidth),
+        lambda s: kde_pdf(s, xis, bandwidth),
+        signals,
+    )
 
 
 def nmi(

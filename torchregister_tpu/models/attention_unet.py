@@ -82,6 +82,12 @@ class TapConv(nn.Module):
 
     Parameter layout matches flax ``nn.Conv`` (kernel ``[*k, Ci, Co]``, zero
     bias) so checkpoints are interchangeable.
+
+    On TPU, 3D k=3 convs route to the fused Pallas kernel
+    (ops/pallas/conv3d.py) whenever the per-plane working set fits VMEM —
+    the tap decomposition round-trips HBM 27 times where the kernel keeps
+    the whole stencil on-chip. Same parameters, same values (f32
+    accumulation); ``use_pallas`` forces the choice for tests/ablation.
     """
 
     features: int
@@ -89,6 +95,7 @@ class TapConv(nn.Module):
     ksize: int = 3
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool | None = None  # None = auto (TPU + fits VMEM)
 
     @nn.compact
     def __call__(self, x):
@@ -107,6 +114,34 @@ class TapConv(nn.Module):
         )
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
+        out = self._conv(x, kernel, cin, k)
+        if bias is not None:
+            out = out + bias.astype(self.dtype).reshape(
+                (1, self.features) + (1,) * self.ndim
+            )
+        return out
+
+    def _conv(self, x, kernel, cin, k):
+        from ..ops.pallas import conv3d
+        from ..ops.pallas.conv3d import conv3x3x3, fits_pallas_conv
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                conv3d.PALLAS_CONV_ENABLED
+                and self.ndim == 3
+                and k == 3
+                and jax.default_backend() == "tpu"
+                and fits_pallas_conv(
+                    cin, self.features, x.shape[2:],
+                    jnp.dtype(self.dtype).itemsize,
+                )
+            )
+        if use_pallas:
+            if x.shape[0] == 1:
+                return conv3x3x3(x[0], kernel)[None]
+            return jax.vmap(lambda a: conv3x3x3(a, kernel))(x)
+
         out_spatial = tuple(s - (k - 1) for s in x.shape[2:])
         out = None
         for taps in itertools.product(range(k), repeat=self.ndim):
@@ -117,10 +152,6 @@ class TapConv(nn.Module):
             seg = jax.lax.slice(x, start, limit)
             term = _contract_1x1(seg, kernel[taps])
             out = term if out is None else out + term
-        if bias is not None:
-            out = out + bias.astype(self.dtype).reshape(
-                (1, self.features) + (1,) * self.ndim
-            )
         return out
 
 
