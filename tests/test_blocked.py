@@ -174,3 +174,68 @@ def test_warp_flow_fast_batched():
     ours = warp_flow_fast(src, flow)
     ref = warp_flow(src, flow)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+# ------------------------------------------------------- super-tile resampler
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize(
+    "shape,angle",
+    [((48, 52, 41), 0.22), ((64, 64, 64), 0.0), ((80, 44, 56), 0.4)],
+)
+def test_warp_affine_supertile_matches_exact(align, shape, angle):
+    """Uniform-offset restack parity: non-SUPER-multiple shapes, rotations up
+    to 0.4 rad, multichannel."""
+    from torchregister_tpu.ops.blocked import (
+        _supertile_plan,
+        warp_affine_supertile,
+    )
+
+    moving = _rand((1, 2) + shape, 7)
+    theta = _rot_theta(angle)
+    Bs, B2, P = _supertile_plan(theta, shape, align)
+    ours = warp_affine_supertile(
+        theta, moving, align, block_sub=Bs, block_super=B2, pad=P
+    )
+    ref = warp_affine(theta, moving, align)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
+
+
+def test_warp_affine_supertile_zeros_padding_at_edges():
+    """Support pushed past the volume edge: zeros semantics (padded volume,
+    no origin clipping)."""
+    from torchregister_tpu.ops.blocked import (
+        _supertile_plan,
+        warp_affine_supertile,
+    )
+
+    shape = (44, 48, 41)
+    moving = jnp.ones((1, 1) + shape, jnp.float32)
+    theta = jnp.asarray([[[1.0, 0, 0, 0.9], [0, 1.0, 0, -0.8], [0, 0, 1.0, 0.5]]])
+    Bs, B2, P = _supertile_plan(theta, shape, False)
+    ours = warp_affine_supertile(
+        theta, moving, block_sub=Bs, block_super=B2, pad=P
+    )
+    ref = warp_affine(theta, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
+
+
+def test_warp_affine_fast_routes_supertile():
+    """The eager wrapper picks the super-tile path for >=SUPER volumes and
+    stays exact."""
+    shape = (48, 44, 52)
+    moving = _rand((1, 1) + shape, 9)
+    theta = _rot_theta(0.3)
+    ours = warp_affine_fast(theta, moving)
+    ref = warp_affine(theta, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
+
+
+def test_supertile_plan_scales_with_rotation():
+    from torchregister_tpu.ops.blocked import _supertile_plan
+
+    shape = (64, 64, 64)
+    bs0, b20, _ = _supertile_plan(_rot_theta(0.0, (0, 0, 0)), shape, False)
+    bs1, b21, _ = _supertile_plan(_rot_theta(0.5, (0, 0, 0)), shape, False)
+    assert bs1 > bs0 and b21 > b20

@@ -33,6 +33,7 @@ def _xla_conv(x, w):
     ((8, 12, 13), 1, 8),       # first layer: 1 -> C
     ((7, 10, 18), 8, 8),       # odd sizes, W far from 128
     ((6, 9, 130), 4, 6),       # W just past the 128 boundary
+    ((6, 140, 140), 8, 8),     # large H: routes to the H-chunked variant C
 ])
 def test_conv3x3x3_matches_xla(shape, ci, co):
     x = _rand((ci,) + shape, 1)
@@ -131,3 +132,35 @@ def test_tapconv_pallas_path_matches_tap_path():
     for a, b in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_tap)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_variant_routing():
+    """Small shapes use the all-Element variant A; large-H shapes where A's
+    working set would blow the calibrated VMEM budget route to the H-chunked
+    variant C; oversize channel counts fit neither."""
+    from torchregister_tpu.ops.pallas.conv3d import _pick_variant
+
+    assert _pick_variant(8, 8, 118, 118, 4) == "a"
+    assert _pick_variant(8, 8, 140, 140, 4) == "c"
+    assert _pick_variant(64, 64, 236, 236, 4) is None
+
+
+def test_variant_c_grad_matches_xla():
+    """The VJP through the H-chunked variant (dx kernel also chunked)."""
+    ci, co = 8, 8
+    x = _rand((ci, 5, 140, 140), 12)
+    w = _rand((3, 3, 3, ci, co), 13, 0.2)
+    t = _rand((co, 3, 138, 138), 14)
+
+    def loss_ours(x_, w_):
+        return jnp.sum((conv3x3x3(x_, w_) - t) ** 2)
+
+    def loss_ref(x_, w_):
+        return jnp.sum((_xla_conv(x_, w_) - t) ** 2)
+
+    gx1, gw1 = jax.grad(loss_ours, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-3, atol=1e-3)

@@ -112,6 +112,19 @@ def flow_tile_extent(flow: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(ext)
 
 
+def _hat_contract(blk, qc, org, B: int):
+    """Exact trilinear values of per-tile blocks ``blk [n, C, B, B, B]``
+    (fetched at integer origins ``org [n, 3]``) at coords ``qc [n, V, 3]``
+    via per-axis hat-function contractions. Returns ``[n, C, V]``."""
+    iota = jnp.arange(B, dtype=jnp.float32)
+    pos = org.astype(jnp.float32)[:, :, None] + iota  # [n, 3, B]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(qc[:, :, :, None] - pos[:, None]))
+    hi = jax.lax.Precision.HIGHEST
+    t1 = jnp.einsum("tva,tcabx->tcvbx", w[:, :, 0], blk, precision=hi)
+    t2 = jnp.einsum("tvb,tcvbx->tcvx", w[:, :, 1], t1, precision=hi)
+    return jnp.einsum("tvx,tcvx->tcv", w[:, :, 2], t2, precision=hi)
+
+
 def _hat_block_resample(vol, q, spatial, B: int, chunk: int):
     """Exact multilinear resample of ``vol [C,*S]`` at coords ``q [T,V,d]``
     (index space, tile-major), via slice-gather + hat contractions.
@@ -133,13 +146,7 @@ def _hat_block_resample(vol, q, spatial, B: int, chunk: int):
             vol, org, dn, slice_sizes=(C, B, B, B),
             mode=jax.lax.GatherScatterMode.CLIP,
         )  # [chunk, C, B, B, B]
-        iota = jnp.arange(B, dtype=jnp.float32)
-        pos = org.astype(jnp.float32)[:, :, None] + iota  # [chunk, 3, B]
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(qc[:, :, :, None] - pos[:, None]))
-        hi = jax.lax.Precision.HIGHEST
-        t1 = jnp.einsum("tva,tcabx->tcvbx", w[:, :, 0], blk, precision=hi)
-        t2 = jnp.einsum("tvb,tcvbx->tcvx", w[:, :, 1], t1, precision=hi)
-        return jnp.einsum("tvx,tcvx->tcv", w[:, :, 2], t2, precision=hi)
+        return _hat_contract(blk, qc, org, B)
 
     T = q.shape[0]
     n_chunks = -(-T // chunk)
@@ -169,6 +176,188 @@ def _untile(out_tcv, grids, spatial, C):
         C, GZ * TILE, GY * TILE, GX * TILE
     )
     return out[:, : spatial[0], : spatial[1], : spatial[2]]
+
+
+SUB = 4  # sub-tiles per super-tile edge
+SUPER = SUB * TILE  # super-tile edge (40): the slice-gather granularity
+
+
+def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False):
+    """Host-side sizing for :func:`warp_affine_supertile`: ``(block_sub,
+    block_super, pad)``.
+
+    The key fact making the super-tile decomposition work for *affine* maps:
+    the source-window offset of sub-tile ``d`` inside its super-tile's block,
+    ``floor(TILE * d @ M.T - min_d ...)``, is the SAME for every super-tile
+    (linearity) — so the per-sub-tile restack is 64 ``dynamic_slice`` ops with
+    *traced* starts, not a 13k-slice gather, and none of the sizing here
+    depends on ``t`` alone shifting (no per-theta recompile beyond the
+    quantized sizes).
+    """
+    theta = np.asarray(jax.device_get(theta), np.float64)
+    if theta.ndim == 3:
+        theta = theta[0]
+    if theta.ndim == 1 or theta.shape[0] == 1:
+        theta = theta.reshape(3, 4)
+    M, t = _index_map_np(theta, spatial, align_corners)
+    rows = np.abs(M).sum(axis=1)
+    # sub-tile support extent (TILE-1 output steps) + floor/base slack
+    Bs = int(math.ceil((TILE - 1) * rows.max())) + 5
+    Bs += -Bs % 2
+    dgrid = np.stack(np.meshgrid(*[np.arange(SUB)] * 3, indexing="ij"), -1)
+    c = float(TILE) * dgrid.reshape(-1, 3) @ M.T  # [64, 3]
+    offs = np.floor(c - c.min(axis=0))
+    B2 = int(offs.max()) + Bs
+    B2 += -B2 % 4
+    # exact base range over all super-tiles (for zero-padding the volume so
+    # block origins never need clipping — clipped origins would break the
+    # uniform-offset structure at volume edges)
+    Gs = [-(-s // SUPER) for s in spatial]
+    # corners of every super box, vectorized: super origins [T2, 3]
+    og = np.stack(
+        np.meshgrid(*[np.arange(g) * SUPER for g in Gs], indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.float64)
+    corn = np.stack(
+        np.meshgrid(*[np.array([0.0, SUPER - 1.0])] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    qc = (og[:, None, :] + corn[None, :, :]) @ M.T + t  # [T2, 8, 3]
+    base = np.floor(qc.min(axis=1)) - 1.0  # [T2, 3]
+    pad = max(
+        0.0,
+        float(-base.min()),
+        float((base + B2 - np.asarray(spatial, np.float64)).max()),
+    )
+    P = int(math.ceil(pad)) + 2  # +2: device f32 vs host f64 floor drift
+    P += -P % 8
+    return Bs, B2, P
+
+
+@partial(jax.jit, static_argnames=("align_corners", "block_sub",
+                                   "block_super", "pad", "chunk"))
+def warp_affine_supertile(
+    theta: jnp.ndarray,
+    moving: jnp.ndarray,
+    align_corners: bool = False,
+    block_sub: int = 16,
+    block_super: int = 64,
+    pad: int = 56,
+    chunk: int = 432,
+) -> jnp.ndarray:
+    """Exact affine warp (grid_sample parity) via SUPER^3 slice gathers +
+    uniform-offset sub-tile restack — the latency fix for the blocked
+    resampler: 216 slice fetches at 240^3 instead of 13824 (the per-slice
+    ~3.3 us XLA gather latency was ~60 of its 76 ms).
+
+    Sizing must come from :func:`_supertile_plan` for this theta (the eager
+    wrapper :func:`warp_affine_fast` does this); reference semantics
+    warpings.py:18-26 (zeros padding, align_corners=False default).
+    """
+    theta = as_matrix(theta)
+    spatial = moving.shape[2:]
+    assert moving.shape[0] == 1 and len(spatial) == 3
+    C = moving.shape[1]
+    Bs, B2, P = block_sub, block_super, pad
+    M, t = affine_to_index_map(theta[0], spatial, align_corners)
+
+    Gs = [-(-s // SUPER) for s in spatial]
+    T2 = Gs[0] * Gs[1] * Gs[2]
+    og = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(g, dtype=jnp.float32) * SUPER for g in Gs],
+                     indexing="ij"), -1
+    ).reshape(-1, 3)  # [T2, 3]
+
+    # Super-block origins: floor(min over the 8 corners of each super box) - 1
+    # (the min of a linear map over a box sits at a corner — exact).
+    corn = jnp.stack(
+        jnp.meshgrid(*[jnp.asarray([0.0, SUPER - 1.0])] * 3, indexing="ij"), -1
+    ).reshape(1, 8, 3)
+    oc = og[:, None, :] + corn  # [T2, 8, 3]
+    qcorn = jnp.stack(
+        [
+            M[s, 0] * oc[..., 0] + M[s, 1] * oc[..., 1] + M[s, 2] * oc[..., 2]
+            + t[s]
+            for s in range(3)
+        ],
+        axis=-1,
+    )
+    base = jnp.floor(jnp.min(qcorn, axis=1)) - 1.0  # [T2, 3] float
+    sizes = jnp.asarray(spatial, jnp.int32)
+    base_i = jnp.clip(base.astype(jnp.int32) + P, 0, sizes + 2 * P - B2)
+
+    volp = jnp.pad(moving[0], ((0, 0),) + ((P, P),) * 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2, 3),
+    )
+    supers = jax.lax.gather(
+        volp, base_i, dn, slice_sizes=(C, B2, B2, B2),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [T2, C, B2, B2, B2]
+
+    # Uniform sub-tile offsets (same for every super-tile — linearity):
+    dgrid = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(SUB, dtype=jnp.float32)] * 3, indexing="ij"),
+        -1,
+    ).reshape(-1, 3)  # [64, 3]
+    c_d = float(TILE) * jnp.einsum("dj,aj->da", dgrid, M)  # [64, 3]
+    offs = jnp.floor(c_d - jnp.min(c_d, axis=0)).astype(jnp.int32)
+    offs = jnp.clip(offs, 0, B2 - Bs)  # no-op under a correct plan
+
+    nsub = SUB ** 3
+    blk = jnp.stack(
+        [
+            jax.lax.dynamic_slice(
+                supers, (0, 0, offs[d, 0], offs[d, 1], offs[d, 2]),
+                (T2, C, Bs, Bs, Bs),
+            )
+            for d in range(nsub)
+        ],
+        axis=1,
+    ).reshape(T2 * nsub, C, Bs, Bs, Bs)
+
+    # Per-tile block origins in UNPADDED index space + output coordinates,
+    # ordered (super z,y,x) major, (sub z,y,x), then tile-local (z,y,x).
+    org = (base_i[:, None, :] - P + offs[None, :, :]).reshape(-1, 3)
+    l = jnp.arange(TILE, dtype=jnp.float32)
+    loc = jnp.stack(jnp.meshgrid(l, l, l, indexing="ij"), -1).reshape(-1, 3)
+    o = (
+        og[:, None, None, :]
+        + float(TILE) * dgrid[None, :, None, :]
+        + loc[None, None, :, :]
+    )  # [T2, 64, V, 3]
+    q = jnp.stack(
+        [
+            M[s, 0] * o[..., 0] + M[s, 1] * o[..., 1] + M[s, 2] * o[..., 2]
+            + t[s]
+            for s in range(3)
+        ],
+        axis=-1,
+    ).reshape(T2 * nsub, TILE ** 3, 3)
+
+    T = T2 * nsub
+    n_chunks = -(-T // chunk)
+    padn = n_chunks * chunk - T
+    blk_p = jnp.pad(blk, ((0, padn),) + ((0, 0),) * 4)
+    q_p = jnp.pad(q, ((0, padn), (0, 0), (0, 0)))
+    org_p = jnp.pad(org, ((0, padn), (0, 0)))
+    out = jax.lax.map(
+        lambda args: _hat_contract(args[0], args[1], args[2], Bs),
+        (
+            blk_p.reshape(n_chunks, chunk, C, Bs, Bs, Bs),
+            q_p.reshape(n_chunks, chunk, -1, 3),
+            org_p.reshape(n_chunks, chunk, 3),
+        ),
+    )
+    out = out.reshape(n_chunks * chunk, C, -1)[:T]
+
+    # Untile: (sz,sy,sx),(dz,dy,dx),(vz,vy,vx) -> [C, *S]
+    out = out.reshape(Gs[0], Gs[1], Gs[2], SUB, SUB, SUB, C,
+                      TILE, TILE, TILE)
+    out = out.transpose(6, 0, 3, 7, 1, 4, 8, 2, 5, 9).reshape(
+        C, Gs[0] * SUPER, Gs[1] * SUPER, Gs[2] * SUPER
+    )
+    return out[None, :, : spatial[0], : spatial[1], : spatial[2]]
 
 
 @partial(jax.jit, static_argnames=("align_corners", "block", "chunk"))
@@ -284,6 +473,15 @@ def warp_affine_fast(theta, moving, align_corners: bool = False):
     B += -B % 2
     if B > min(_MAX_BLOCK, min(spatial)):
         return warp_affine(theta, moving, align_corners)
+    if min(spatial) >= SUPER:
+        # Latency-shaped volumes: SUPER^3 slice fetches + uniform-offset
+        # restack (216 slices at 240^3 vs 13824) — same exactness oracle.
+        Bs, B2, P = _supertile_plan(theta, spatial, align_corners)
+        if Bs <= _MAX_BLOCK and B2 <= min(min(spatial) + 2 * P, 128):
+            return warp_affine_supertile(
+                theta, moving, align_corners,
+                block_sub=Bs, block_super=B2, pad=P,
+            )
     return warp_affine_blocked(theta, moving, align_corners, block=B)
 
 

@@ -1,22 +1,40 @@
 """Pallas TPU kernel for fused valid 3x3x3 convolution (the U-Net hot op).
 
-Why this exists: XLA:TPU lowers narrow-channel 3D convolutions ~80x off the
-HBM roofline (measured 5.3-5.6 ms for one 8->8 3^3 conv at 120^3 bf16 in any
-layout — BASELINE.md), and the tap-decomposed formulation
-(models/attention_unet.py:TapConv) is only ~2x better because every one of
-its 27 shifted-slice contractions round-trips HBM. The flow U-Net's fwd+bwd
-IS the whole flow-step cost (reference utils.py:409-559 is likewise the
-reference's entire flow-mode cost), so this kernel keeps the whole 27-tap
-stencil on-chip:
+Why this exists: XLA:TPU lowers narrow-channel 3D convolutions far off the
+HBM roofline (measured 32.5 ms for one 8->8 3^3 conv at 120^3 f32 in a
+chained device loop; the tap-decomposed formulation in
+models/attention_unet.py:TapConv gets 4.2 ms), because narrow channel counts
+starve the MXU and every tap round-trips HBM. The flow U-Net's fwd+bwd IS the
+whole flow-step cost (reference utils.py:409-559 is likewise the reference's
+entire flow-mode cost), so this kernel keeps the whole 27-tap stencil
+on-chip:
 
-- grid over output z-planes; THREE unit-z block-mapped refs of the same
-  source array with index maps z, z+1, z+2 (verified working Mosaic pattern —
-  plain BlockSpecs cannot express overlapping blocks);
-- per plane, the 9 in-plane taps are static (dy, dx) slices, each contracted
-  over input channels by an MXU matmul (``einsum('chw,co->ohw')``,
-  f32 accumulation);
+- grid over output z-planes; a 3-plane window of the source is read per step
+  (z, z+1, z+2), the z-taps folded into the contraction: the planes
+  concatenate to ``[3Ci, H, W]`` and each of the 9 in-plane taps is ONE MXU
+  matmul with K = 3*Ci (``einsum('chw,co->ohw')``, f32 accumulation) over a
+  static (dy, dx) slice;
 - one HBM read per plane per z-role (3x input traffic) + one write — vs the
   tap path's 27 round-trips.
+
+Two block layouts (both probed on v5e through the axon stack):
+
+- variant A (small working set): ONE all-``pl.Element`` ref with an
+  elementwise z start (Mosaic requires Element dims to be all-or-none, and
+  the last two block dims to be (8,128)-divisible or full-size — full H/W
+  here). Fastest: 3.75 ms per 8->8 conv at 120^3 f32.
+- variant C (any size): H is chunked in HC=64-row output strips; overlapped
+  input windows (66 rows) cannot be expressed by Blocked specs, so the input
+  is pre-stacked into ``[nh, Ci, Z, HC+2, Wp]`` slabs (one cheap XLA copy)
+  whose trailing dims are full-size. Bounds VMEM for any H: 4.74 ms at
+  128^3, 25.6 ms at 240^3 (tap: 7.3 / 57.8; XLA native: 38.8 / 251).
+
+Variant choice is by a calibrated VMEM model: Mosaic's true scoped stack
+usage runs ~2.4x the naive ref+temporary estimate (measured 16.22 MB at a
+6.85 MB estimate — each unrolled einsum statement gets its own stack slot),
+so variant-A estimates are held under ``_VMEM_BUDGET`` = 6.5 MB of the 16 MB
+scope (the proven-working 120^3 point); variant C, whose slab refs pack
+tighter, is anchored to its own measured-working 240^3 point (7.0 MB est).
 
 Weight layout matches flax/``TapConv`` (``[kz, ky, kx, Ci, Co]``) so
 parameters are interchangeable. Exposed with a custom VJP:
@@ -24,8 +42,8 @@ parameters are interchangeable. Exposed with a custom VJP:
 - ``d/dx`` is the stride-1 transposed conv == the SAME kernel on the
   zero-padded cotangent with spatially-flipped, ci/co-swapped weights;
 - ``d/dw`` is 27 big-K contractions (``einsum('czyx,ozyx->co')`` over
-  shifted slices) — XLA lowers these to efficient MXU matmuls already
-  (K = whole volume), so they stay outside Pallas.
+  shifted slices) — XLA fuses these sibling reductions well (K = volume),
+  and the Mosaic stack rejects every in-kernel two-axis contraction form.
 
 CPU (tests) runs the kernel in interpreter mode, like ops/pallas/sweep.py.
 """
@@ -33,143 +51,197 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Auto-routing gate: TapConv's 'auto' mode uses the kernel only when True.
-# Held False until the compiled kernel is hardware-validated each time its
-# structure changes (bench.py's pallas_selftest is the on-hardware gate).
-PALLAS_CONV_ENABLED = False
+# Flipped False if the kernel structure changes until re-validated on
+# hardware (bench.py's pallas_selftest is the on-hardware value gate).
+PALLAS_CONV_ENABLED = True
 
-_VMEM_BUDGET = 6_000_000  # nominal-estimate budget; Mosaic's true scoped
-# stack usage runs ~2x the naive ref+temporary accounting (measured: a 12 MB
-# estimate hit a 23.7 MB scoped allocation), so this keeps real usage under
-# the 16 MB VMEM scope
+_VMEM_BUDGET = 6_500_000  # naive-estimate budget. Calibration: the 16 MB
+# scope hit a measured 16.22 MB scoped allocation at a 6.85 MB estimate
+# (128^3, factor ~2.37 — each unrolled einsum statement gets its own stack
+# slot), while the 120^3 shape (6.43 MB estimate) compiles and runs; 6.5 MB
+# keeps real usage at/below the proven-working point.
+_VMEM_BUDGET_C = 7_100_000  # variant-C budget: the 240^3 8->8 shape
+# (Wp=258, estimate 7.00 MB) is measured working on hardware (25.6 ms);
+# wider shapes are rejected and fall back to the tap path.
+HC = 64  # variant-C output rows per grid step (multiple of 8 — Mosaic
+# requires (8,128)-divisible or full-size trailing block dims)
 
 
 def _interpret_mode() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _est_a(ci: int, co: int, h: int, wp: int, itemsize: int) -> int:
+    """Variant-A per-step VMEM estimate: double-buffered 3-plane Element ref,
+    the [3Ci] concat, one live einsum term + f32 accumulator, double-buffered
+    out block."""
+    wo = wp - 2
+    return (
+        2 * 3 * ci * h * wp * itemsize   # x ref (3 z-planes), double-buffered
+        + 3 * ci * h * wp * itemsize     # x3 concat
+        + 2 * co * (h - 2) * wo * 4      # term + accumulator (f32)
+        + 2 * co * (h - 2) * wo * itemsize  # out block, double-buffered
+    )
+
+
+def _est_c(ci: int, co: int, wp: int, itemsize: int) -> int:
+    """Variant-C per-step VMEM estimate (H fixed at HC+2 input rows)."""
+    wo = wp - 2
+    return (
+        2 * 3 * ci * (HC + 2) * wp * itemsize  # 3 slab refs, double-buffered
+        + 3 * ci * (HC + 2) * wp * itemsize    # x3 concat
+        + 2 * co * HC * wo * 4                 # term + accumulator (f32)
+        + 2 * co * HC * wo * itemsize          # out block, double-buffered
+    )
+
+
+def _pick_variant(ci: int, co: int, h: int, w: int, itemsize: int):
+    wp = -(-(w - 2) // 128) * 128 + 2
+    if _est_a(ci, co, h, wp, itemsize) <= _VMEM_BUDGET:
+        return "a"
+    if _est_c(ci, co, wp, itemsize) <= _VMEM_BUDGET_C:
+        return "c"
+    return None
+
+
 def fits_pallas_conv(ci: int, co: int, spatial, itemsize: int) -> bool:
-    """Whether the kernel's per-step working set fits the VMEM budget, for
-    BOTH the forward shape and its VJP's padded-cotangent shape — callers
-    fall back to the tap path otherwise."""
+    """Whether some kernel variant fits the VMEM budget, for BOTH the forward
+    shape and its VJP's padded-cotangent shape — callers fall back to the tap
+    path otherwise."""
     if len(spatial) != 3:
         return False
     Z, H, W = spatial
     if Z < 3 or H < 3 or W < 3:
         return False
-    wp_fwd = -(-(W - 2) // 128) * 128 + 2
-    # dx kernel runs on the cotangent padded by 2 per side: [Co, Z+2, H+2, W+2]
-    wp_bwd = -(-W // 128) * 128 + 2
     return (
-        _pick_zt(ci, co, H, wp_fwd, itemsize) > 0
-        and _pick_zt(co, ci, H + 2, wp_bwd, itemsize) > 0
+        _pick_variant(ci, co, H, W, itemsize) is not None
+        and _pick_variant(co, ci, H + 2, W + 2, itemsize) is not None
     )
 
 
-def _conv_kernel(w_ref, main, halo, o_ref, *, ZT: int, Ho: int, Wo: int,
-                 out_dtype, f32: bool):
-    # [Ci, ZT+2, H, Wp]: this step's z-chunk + 2-plane halo
-    x_all = jnp.concatenate([main[:], halo[:]], axis=1)
-    # z-taps folded into the contraction: [3Ci, ZT, H, Wp] with row order
-    # (dz, ci) — matching the weight reshape in _conv_fwd_pallas
-    x3 = jnp.concatenate([x_all[:, dz:dz + ZT] for dz in range(3)], axis=0)
+def _conv_kernel(w_ref, x_ref, o_ref, *, Ho: int, Wo: int, f32: bool):
+    # z-taps folded into the contraction: [3Ci, H, Wp], row order (dz, ci) —
+    # matching the weight transpose in _conv_fwd_pallas. x_ref is the 3-plane
+    # window (variant A: [Ci, 3, H, Wp]; variant C: 3 slab refs pre-concat).
+    x3 = jnp.concatenate([x_ref[:, 0], x_ref[:, 1], x_ref[:, 2]], axis=0)
+    return _tap_matmuls(w_ref, x3, o_ref, Ho, Wo, f32)
+
+
+def _tap_matmuls(w_ref, x3, o_ref, Ho, Wo, f32):
+    # f32 needs an explicit HIGHEST (default = bf16 MXU passes, ~5e-2 err);
+    # bf16 operands reject HIGHEST ("Bad lhs type") and accumulate f32 via
+    # preferred_element_type alone. CPU interpret can't run bf16 dots at all.
     prec = jax.lax.Precision.HIGHEST if f32 else None
     wk = w_ref[:]
     if not f32 and _interpret_mode():
-        # XLA:CPU's dot thunk can't execute BF16 x BF16 = F32 — upcast in
-        # interpreter mode only (TPU uses the native bf16 MXU path)
         x3 = x3.astype(jnp.float32)
         wk = wk.astype(jnp.float32)
     acc = None
     for dy in range(3):
         for dx in range(3):
-            seg = x3[:, :, dy:dy + Ho, dx:dx + Wo]
+            seg = x3[:, dy:dy + Ho, dx:dx + Wo]
             term = jnp.einsum(
-                "czhw,co->ozhw", seg, wk[dy * 3 + dx],
+                "chw,co->ohw", seg, wk[dy * 3 + dx],
                 preferred_element_type=jnp.float32, precision=prec,
             )
             acc = term if acc is None else acc + term
-    o_ref[:] = acc.astype(out_dtype)
+    o_ref[:, 0] = acc.astype(o_ref.dtype)
 
 
-def _pick_zt(ci: int, co: int, h: int, wp: int, itemsize: int) -> int:
-    """Largest even z-chunk whose working set (double-buffered refs +
-    in-kernel temporaries + f32 accumulator) fits the VMEM budget."""
-    for zt in (16, 12, 8, 6, 4, 2):
-        plane = h * wp * itemsize
-        need = (
-            2 * (ci * (zt + 2)) * plane          # main+halo, double-buffered
-            + 4 * ci * zt * plane                 # x_all + x3 temporaries
-            + co * zt * h * wp * 4                # f32 accumulator
-            + 2 * co * zt * plane                 # out block, double-buffered
-        )
-        if need <= _VMEM_BUDGET:
-            return zt
-    return 0
+def _conv_kernel_c(w_ref, p0, p1, p2, o_ref, *, Ho: int, Wo: int, f32: bool):
+    x3 = jnp.concatenate([p0[0, :, 0], p1[0, :, 0], p2[0, :, 0]], axis=0)
+    return _tap_matmuls(w_ref, x3, o_ref, Ho, Wo, f32)
+
+
+def _fwd_a(x, w9, Ci, Co, Z, H, Wp, Wo_p):
+    Ho = H - 2
+    kern = functools.partial(
+        _conv_kernel, Ho=Ho, Wo=Wo_p, f32=x.dtype == jnp.float32
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(Z - 2,),
+        in_specs=[
+            pl.BlockSpec((9, 3 * Ci, Co), lambda z: (0, 0, 0)),
+            pl.BlockSpec(
+                (pl.Element(Ci), pl.Element(3), pl.Element(H), pl.Element(Wp)),
+                lambda z: (0, z, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((Co, 1, Ho, Wo_p), lambda z: (0, z, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Co, Z - 2, Ho, Wo_p), x.dtype),
+        interpret=_interpret_mode(),
+    )(w9.astype(x.dtype), x)
+
+
+def _fwd_c(x, w9, Ci, Co, Z, H, Wp, Wo_p):
+    Ho = H - 2
+    nh = -(-Ho // HC)
+    Hpad = nh * HC + 2
+    if Hpad != H:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Hpad - H), (0, 0)))
+    # overlapped input strips as a stacked leading dim — trailing block dims
+    # stay full-size (Mosaic's divisibility rule), one cheap XLA copy
+    xh = jnp.stack([x[:, :, i * HC:i * HC + HC + 2] for i in range(nh)])
+    kern = functools.partial(
+        _conv_kernel_c, Ho=HC, Wo=Wo_p, f32=x.dtype == jnp.float32
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(Z - 2, nh),
+        in_specs=[
+            pl.BlockSpec((9, 3 * Ci, Co), lambda z, h: (0, 0, 0)),
+            pl.BlockSpec((1, Ci, 1, HC + 2, Wp), lambda z, h: (h, 0, z, 0, 0)),
+            pl.BlockSpec((1, Ci, 1, HC + 2, Wp),
+                         lambda z, h: (h, 0, z + 1, 0, 0)),
+            pl.BlockSpec((1, Ci, 1, HC + 2, Wp),
+                         lambda z, h: (h, 0, z + 2, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Co, 1, HC, Wo_p), lambda z, h: (0, z, h, 0)),
+        out_shape=jax.ShapeDtypeStruct((Co, Z - 2, nh * HC, Wo_p), x.dtype),
+        interpret=_interpret_mode(),
+    )(w9.astype(x.dtype), xh, xh, xh)
+    return out[:, :, :Ho]
 
 
 def _conv_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """x ``[Ci, Z, H, W]``, w ``[3, 3, 3, Ci, Co]`` -> ``[Co, Z-2, H-2, W-2]``
     (valid conv, f32 accumulation, output in x.dtype).
 
-    Mosaic constraints baked in (all probed on this stack):
-
-    - the contraction einsum compiles only when the sliced LANE width is an
-      exact 128-multiple ("infer-vector-layout: unsupported shape cast") —
-      so the source is zero-padded to a 128-aligned output width and the pad
-      columns sliced away afterwards;
-    - ``precision=HIGHEST`` is rejected for bf16 operands ("Bad lhs type");
-      bf16 uses the default MXU path with f32 accumulation;
-    - per-grid-step overhead is ~30 us, so single-plane steps are latency-
-      bound: each step processes a ``ZT``-plane chunk, with the +2 z-halo
-      delivered by a SECOND block-mapped ref of granularity 2 (start
-      ``(z+1) * ZT`` is expressible in 2-plane block units for even ZT —
-      plain BlockSpecs cannot express overlapping blocks directly).
+    Mosaic constraint (probed): the contraction einsum compiles only when the
+    sliced LANE width is an exact 128-multiple ("infer-vector-layout:
+    unsupported shape cast") — static unaligned *starts* are fine. The source
+    is zero-padded to a 128-aligned output width; pad columns contribute
+    zeros and are sliced away.
     """
     Ci, Z, H, W = x.shape
     Co = w.shape[-1]
-    Ho, Wo = H - 2, W - 2
+    Wo = W - 2
     Wo_p = -(-Wo // 128) * 128
     Wp = Wo_p + 2
-    ZT = _pick_zt(Ci, Co, H, Wp, x.dtype.itemsize)
-    Zo = Z - 2
-    Zo_p = -(-Zo // ZT) * ZT
-    pad_w = Wp - W
-    pad_z = Zo_p + 2 - Z
-    if pad_w or pad_z:
-        x = jnp.pad(x, ((0, 0), (0, pad_z), (0, 0), (0, pad_w)))
+    if Wp != W:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
     # weights with (dz, ci) merged for the folded-z contraction
     w9 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(9, 3 * Ci, Co)
-    kern = functools.partial(
-        _conv_kernel, ZT=ZT, Ho=Ho, Wo=Wo_p, out_dtype=x.dtype,
-        f32=x.dtype == jnp.float32,
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=(Zo_p // ZT,),
-        in_specs=[
-            pl.BlockSpec((9, 3 * Ci, Co), lambda z: (0, 0, 0)),
-            pl.BlockSpec((Ci, ZT, H, Wp), lambda z: (0, z, 0, 0)),
-            pl.BlockSpec((Ci, 2, H, Wp), lambda z: (0, (z + 1) * (ZT // 2), 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((Co, ZT, Ho, Wo_p), lambda z: (0, z, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((Co, Zo_p, Ho, Wo_p), x.dtype),
-        interpret=_interpret_mode(),
-    )(w9.astype(x.dtype), x, x)
-    return out[:, :Zo, :, :Wo]
+    variant = _pick_variant(Ci, Co, H, W, jnp.dtype(x.dtype).itemsize)
+    if variant == "c":
+        out = _fwd_c(x, w9, Ci, Co, Z, H, Wp, Wo_p)
+    else:  # 'a' (callers gate on fits_pallas_conv; default to A)
+        out = _fwd_a(x, w9, Ci, Co, Z, H, Wp, Wo_p)
+    return out[..., :Wo]
 
 
 def _wgrad_xla(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """dw[dz,dy,dx,ci,co] = sum x[ci, z+dz, y+dy, x+dx] * g[co, z, y, x].
 
     27 whole-volume contractions — XLA emits MXU matmuls with K = numel
-    (the same shape TapConv's autodiff produces)."""
+    (the same shape TapConv's autodiff produces) and fuses the sibling
+    reductions into few memory passes."""
     _, Zo, Ho, Wo = g.shape
     taps = []
     for dz in range(3):
