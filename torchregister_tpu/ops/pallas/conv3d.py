@@ -19,22 +19,28 @@ on-chip:
 
 Two block layouts (both probed on v5e through the axon stack):
 
-- variant A (small working set): ONE all-``pl.Element`` ref with an
-  elementwise z start (Mosaic requires Element dims to be all-or-none, and
-  the last two block dims to be (8,128)-divisible or full-size — full H/W
-  here). Fastest: 3.75 ms per 8->8 conv at 120^3 f32.
-- variant C (any size): H is chunked in HC=64-row output strips; overlapped
-  input windows (66 rows) cannot be expressed by Blocked specs, so the input
-  is pre-stacked into ``[nh, Ci, Z, HC+2, Wp]`` slabs (one cheap XLA copy)
-  whose trailing dims are full-size. Bounds VMEM for any H: 4.74 ms at
-  128^3, 25.6 ms at 240^3 (tap: 7.3 / 57.8; XLA native: 38.8 / 251).
+- variant A (preferred): ONE all-``pl.Element`` ref with an elementwise z
+  start (Mosaic requires Element dims to be all-or-none, and the last two
+  block dims to be (8,128)-divisible or full-size — full H/W here).
+  2.95 ms per 8->8 conv at 120^3 f32; 21.9 ms at 240^3.
+- variant C (huge shapes): H is chunked in HC=64-row output strips;
+  overlapped input windows (66 rows) cannot be expressed by Blocked specs,
+  so the input is pre-stacked into ``[nh, Ci, Z, HC+2, Wp]`` slabs (one
+  cheap XLA copy) whose trailing dims are full-size. Bounds VMEM for any H:
+  4.74 ms at 128^3, 25.6 ms at 240^3 (tap: 7.3 / 57.8; XLA native:
+  38.8 / 251).
 
-Variant choice is by a calibrated VMEM model: Mosaic's true scoped stack
-usage runs ~2.4x the naive ref+temporary estimate (measured 16.22 MB at a
-6.85 MB estimate — each unrolled einsum statement gets its own stack slot),
-so variant-A estimates are held under ``_VMEM_BUDGET`` = 6.5 MB of the 16 MB
-scope (the proven-working 120^3 point); variant C, whose slab refs pack
-tighter, is anchored to its own measured-working 240^3 point (7.0 MB est).
+Variant choice is by a calibrated VMEM model (see the `_VMEM_*` constants):
+each pallas_call requests a raised scoped-VMEM limit via
+``CompilerParams(vmem_limit_bytes=...)`` — the 16 MB default is a compiler
+flag, not the v5e's 128 MB of physical VMEM — sized at 3.5x the naive
+ref+temporary estimate (Mosaic's true stack runs 2.5-3.2x it; each unrolled
+einsum statement gets its own stack slot). Variant A is preferred whenever
+its request fits the 100 MB ceiling (measured: 2.95 ms at 120^3 f32, 2.1 ms
+for the Ci=32 decoder shape, 21.9 ms at 240^3 f32 — faster than variant C
+everywhere it compiles); C covers the remainder. z-merged grids (ZT output
+planes per step) were probed and do NOT help (3.7 ms vs 2.95 at 120^3):
+the kernel is compute-shaped, not grid-overhead-shaped.
 
 Weight layout matches flax/``TapConv`` (``[kz, ky, kx, Ci, Co]``) so
 parameters are interchangeable. Exposed with a custom VJP:
@@ -60,14 +66,20 @@ from jax.experimental import pallas as pl
 # hardware (bench.py's pallas_selftest is the on-hardware value gate).
 PALLAS_CONV_ENABLED = True
 
-_VMEM_BUDGET = 6_500_000  # naive-estimate budget. Calibration: the 16 MB
-# scope hit a measured 16.22 MB scoped allocation at a 6.85 MB estimate
-# (128^3, factor ~2.37 — each unrolled einsum statement gets its own stack
-# slot), while the 120^3 shape (6.43 MB estimate) compiles and runs; 6.5 MB
-# keeps real usage at/below the proven-working point.
-_VMEM_BUDGET_C = 7_100_000  # variant-C budget: the 240^3 8->8 shape
-# (Wp=258, estimate 7.00 MB) is measured working on hardware (25.6 ms);
-# wider shapes are rejected and fall back to the tap path.
+# Mosaic's scoped-VMEM stack runs 2.5-3.2x the naive ref+temporary estimate
+# (measured: 16.22 MB at a 6.43 MB estimate for 120^3 f32, 16.73 MB at a
+# 5.32 MB estimate for the Ci=32 decoder shape — each unrolled einsum
+# statement gets its own stack slot). The default 16 MB scoped limit is just
+# the `--xla_tpu_scoped_vmem_limit_kib` default, NOT the hardware: v5e has
+# 128 MB VMEM, and `CompilerParams(vmem_limit_bytes=...)` raises the scope
+# per-kernel (probed working at 32/64/100 MB on this axon stack; 240^3
+# variant A measured 21.9 ms/conv at a 90 MB limit — faster than variant C's
+# 25.6). Each pallas_call therefore requests `_VMEM_SAFETY x estimate`
+# (clamped to `_VMEM_CEIL`, leaving headroom out of 128 MB for XLA's own
+# buffers), and a variant is admitted while that request fits the ceiling.
+_VMEM_SAFETY = 3.5
+_VMEM_FLOOR = 32 << 20   # small estimates still get a 2x-calibration margin
+_VMEM_CEIL = 100 << 20
 HC = 64  # variant-C output rows per grid step (multiple of 8 — Mosaic
 # requires (8,128)-divisible or full-size trailing block dims)
 
@@ -100,11 +112,22 @@ def _est_c(ci: int, co: int, wp: int, itemsize: int) -> int:
     )
 
 
+def _vmem_request(est: int) -> int:
+    """Scoped-VMEM limit to request for a kernel with naive estimate ``est``."""
+    return int(min(_VMEM_CEIL, max(_VMEM_FLOOR, _VMEM_SAFETY * est)))
+
+
+def _compiler_params(est: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_vmem_request(est))
+
+
 def _pick_variant(ci: int, co: int, h: int, w: int, itemsize: int):
     wp = -(-(w - 2) // 128) * 128 + 2
-    if _est_a(ci, co, h, wp, itemsize) <= _VMEM_BUDGET:
+    if _VMEM_SAFETY * _est_a(ci, co, h, wp, itemsize) <= _VMEM_CEIL:
         return "a"
-    if _est_c(ci, co, wp, itemsize) <= _VMEM_BUDGET_C:
+    if _VMEM_SAFETY * _est_c(ci, co, wp, itemsize) <= _VMEM_CEIL:
         return "c"
     return None
 
@@ -163,6 +186,7 @@ def _fwd_a(x, w9, Ci, Co, Z, H, Wp, Wo_p):
     kern = functools.partial(
         _conv_kernel, Ho=Ho, Wo=Wo_p, f32=x.dtype == jnp.float32
     )
+    itemsize = jnp.dtype(x.dtype).itemsize
     return pl.pallas_call(
         kern,
         grid=(Z - 2,),
@@ -176,6 +200,7 @@ def _fwd_a(x, w9, Ci, Co, Z, H, Wp, Wo_p):
         out_specs=pl.BlockSpec((Co, 1, Ho, Wo_p), lambda z: (0, z, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Co, Z - 2, Ho, Wo_p), x.dtype),
         interpret=_interpret_mode(),
+        compiler_params=_compiler_params(_est_a(Ci, Co, H, Wp, itemsize)),
     )(w9.astype(x.dtype), x)
 
 
@@ -191,6 +216,7 @@ def _fwd_c(x, w9, Ci, Co, Z, H, Wp, Wo_p):
     kern = functools.partial(
         _conv_kernel_c, Ho=HC, Wo=Wo_p, f32=x.dtype == jnp.float32
     )
+    itemsize = jnp.dtype(x.dtype).itemsize
     out = pl.pallas_call(
         kern,
         grid=(Z - 2, nh),
@@ -205,6 +231,7 @@ def _fwd_c(x, w9, Ci, Co, Z, H, Wp, Wo_p):
         out_specs=pl.BlockSpec((Co, 1, HC, Wo_p), lambda z, h: (0, z, h, 0)),
         out_shape=jax.ShapeDtypeStruct((Co, Z - 2, nh * HC, Wo_p), x.dtype),
         interpret=_interpret_mode(),
+        compiler_params=_compiler_params(_est_c(Ci, Co, Wp, itemsize)),
     )(w9.astype(x.dtype), xh, xh, xh)
     return out[:, :, :Ho]
 
