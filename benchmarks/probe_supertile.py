@@ -165,6 +165,24 @@ def main():
         )
         print(f"chunk={chunk}: {tt * 1e3:.1f} ms", flush=True)
 
+    # sub-tile edge sweep: MACs/voxel = block_sub^3 (16^3=4096 at stile 10,
+    # 14^3=2744 at 8, 10^3=1000 at 5) vs per-tile einsum shape efficiency
+    for stile in (8, 5, 4):
+        Bs_s, B2_s, P_s = B._supertile_plan(theta, shape, stile=stile)
+        for chunk in (432, 1728):
+            tt = timeit(
+                lambda s=stile, a=Bs_s, b=B2_s, p=P_s, c=chunk: sync(
+                    B.warp_affine_supertile(
+                        theta, vol, block_sub=a, block_super=b, pad=p,
+                        chunk=c, stile=s,
+                    )
+                )
+            )
+            print(
+                f"stile={stile} (Bs={Bs_s}, chunk={chunk}): {tt * 1e3:.1f} ms",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()

@@ -239,3 +239,25 @@ def test_supertile_plan_scales_with_rotation():
     bs0, b20, _ = _supertile_plan(_rot_theta(0.0, (0, 0, 0)), shape, False)
     bs1, b21, _ = _supertile_plan(_rot_theta(0.5, (0, 0, 0)), shape, False)
     assert bs1 > bs0 and b21 > b20
+
+
+@pytest.mark.parametrize("stile", [8, 5])
+def test_warp_affine_supertile_stile_variants(stile):
+    """The sub-tile edge is a free parameter (divisor of SUPER): every stile
+    must reproduce the element-gather oracle exactly (the hat-contraction
+    FLOPs/voxel scale as block_sub^3, so smaller stiles are the candidate
+    perf knob — measured on hardware, chosen via SUPER_STILE)."""
+    from torchregister_tpu.ops.blocked import (
+        _supertile_plan,
+        warp_affine_supertile,
+    )
+
+    shape = (48, 52, 41)
+    moving = _rand((1, 2) + shape, 11)
+    theta = _rot_theta(0.3)
+    Bs, B2, P = _supertile_plan(theta, shape, False, stile=stile)
+    ours = warp_affine_supertile(
+        theta, moving, block_sub=Bs, block_super=B2, pad=P, stile=stile
+    )
+    ref = warp_affine(theta, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)

@@ -178,22 +178,28 @@ def _untile(out_tcv, grids, spatial, C):
     return out[:, : spatial[0], : spatial[1], : spatial[2]]
 
 
-SUB = 4  # sub-tiles per super-tile edge
+SUB = 4  # sub-tiles per super-tile edge (at the default stile)
 SUPER = SUB * TILE  # super-tile edge (40): the slice-gather granularity
+SUPER_STILE = TILE  # sub-tile edge used by warp_affine_fast (divisor of
+# SUPER; the hat-contraction MACs/voxel scale as Bs^3 ~ (stile*rowsum+6)^3,
+# so smaller stiles trade einsum shape efficiency for much fewer FLOPs)
 
 
-def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False):
+def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False,
+                    stile: int = TILE):
     """Host-side sizing for :func:`warp_affine_supertile`: ``(block_sub,
     block_super, pad)``.
 
     The key fact making the super-tile decomposition work for *affine* maps:
     the source-window offset of sub-tile ``d`` inside its super-tile's block,
-    ``floor(TILE * d @ M.T - min_d ...)``, is the SAME for every super-tile
-    (linearity) — so the per-sub-tile restack is 64 ``dynamic_slice`` ops with
-    *traced* starts, not a 13k-slice gather, and none of the sizing here
-    depends on ``t`` alone shifting (no per-theta recompile beyond the
-    quantized sizes).
+    ``floor(stile * d @ M.T - min_d ...)``, is the SAME for every super-tile
+    (linearity) — so the per-sub-tile restack is ``(SUPER/stile)^3``
+    ``dynamic_slice`` ops with *traced* starts, not a 13k-slice gather, and
+    none of the sizing here depends on ``t`` alone shifting (no per-theta
+    recompile beyond the quantized sizes).
     """
+    assert SUPER % stile == 0
+    sub = SUPER // stile
     theta = np.asarray(jax.device_get(theta), np.float64)
     if theta.ndim == 3:
         theta = theta[0]
@@ -201,11 +207,11 @@ def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False):
         theta = theta.reshape(3, 4)
     M, t = _index_map_np(theta, spatial, align_corners)
     rows = np.abs(M).sum(axis=1)
-    # sub-tile support extent (TILE-1 output steps) + floor/base slack
-    Bs = int(math.ceil((TILE - 1) * rows.max())) + 5
+    # sub-tile support extent (stile-1 output steps) + floor/base slack
+    Bs = int(math.ceil((stile - 1) * rows.max())) + 5
     Bs += -Bs % 2
-    dgrid = np.stack(np.meshgrid(*[np.arange(SUB)] * 3, indexing="ij"), -1)
-    c = float(TILE) * dgrid.reshape(-1, 3) @ M.T  # [64, 3]
+    dgrid = np.stack(np.meshgrid(*[np.arange(sub)] * 3, indexing="ij"), -1)
+    c = float(stile) * dgrid.reshape(-1, 3) @ M.T  # [sub^3, 3]
     offs = np.floor(c - c.min(axis=0))
     B2 = int(offs.max()) + Bs
     B2 += -B2 % 4
@@ -233,7 +239,7 @@ def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False):
 
 
 @partial(jax.jit, static_argnames=("align_corners", "block_sub",
-                                   "block_super", "pad", "chunk"))
+                                   "block_super", "pad", "chunk", "stile"))
 def warp_affine_supertile(
     theta: jnp.ndarray,
     moving: jnp.ndarray,
@@ -242,16 +248,23 @@ def warp_affine_supertile(
     block_super: int = 64,
     pad: int = 56,
     chunk: int = 432,
+    stile: int = TILE,
 ) -> jnp.ndarray:
     """Exact affine warp (grid_sample parity) via SUPER^3 slice gathers +
     uniform-offset sub-tile restack — the latency fix for the blocked
     resampler: 216 slice fetches at 240^3 instead of 13824 (the per-slice
     ~3.3 us XLA gather latency was ~60 of its 76 ms).
 
-    Sizing must come from :func:`_supertile_plan` for this theta (the eager
-    wrapper :func:`warp_affine_fast` does this); reference semantics
-    warpings.py:18-26 (zeros padding, align_corners=False default).
+    ``stile`` is the hat-contraction sub-tile edge (any divisor of SUPER):
+    the restack slices ``(SUPER/stile)^3`` sub-blocks per super-tile and the
+    contraction runs ``block_sub^3`` MACs per output voxel.
+
+    Sizing must come from :func:`_supertile_plan` for this theta AND stile
+    (the eager wrapper :func:`warp_affine_fast` does this); reference
+    semantics warpings.py:18-26 (zeros padding, align_corners=False default).
     """
+    assert SUPER % stile == 0
+    SUB_N = SUPER // stile
     theta = as_matrix(theta)
     spatial = moving.shape[2:]
     assert moving.shape[0] == 1 and len(spatial) == 3
@@ -297,14 +310,15 @@ def warp_affine_supertile(
 
     # Uniform sub-tile offsets (same for every super-tile — linearity):
     dgrid = jnp.stack(
-        jnp.meshgrid(*[jnp.arange(SUB, dtype=jnp.float32)] * 3, indexing="ij"),
+        jnp.meshgrid(*[jnp.arange(SUB_N, dtype=jnp.float32)] * 3,
+                     indexing="ij"),
         -1,
-    ).reshape(-1, 3)  # [64, 3]
-    c_d = float(TILE) * jnp.einsum("dj,aj->da", dgrid, M)  # [64, 3]
+    ).reshape(-1, 3)  # [SUB_N^3, 3]
+    c_d = float(stile) * jnp.einsum("dj,aj->da", dgrid, M)  # [SUB_N^3, 3]
     offs = jnp.floor(c_d - jnp.min(c_d, axis=0)).astype(jnp.int32)
     offs = jnp.clip(offs, 0, B2 - Bs)  # no-op under a correct plan
 
-    nsub = SUB ** 3
+    nsub = SUB_N ** 3
     blk = jnp.stack(
         [
             jax.lax.dynamic_slice(
@@ -319,13 +333,13 @@ def warp_affine_supertile(
     # Per-tile block origins in UNPADDED index space + output coordinates,
     # ordered (super z,y,x) major, (sub z,y,x), then tile-local (z,y,x).
     org = (base_i[:, None, :] - P + offs[None, :, :]).reshape(-1, 3)
-    l = jnp.arange(TILE, dtype=jnp.float32)
+    l = jnp.arange(stile, dtype=jnp.float32)
     loc = jnp.stack(jnp.meshgrid(l, l, l, indexing="ij"), -1).reshape(-1, 3)
     o = (
         og[:, None, None, :]
-        + float(TILE) * dgrid[None, :, None, :]
+        + float(stile) * dgrid[None, :, None, :]
         + loc[None, None, :, :]
-    )  # [T2, 64, V, 3]
+    )  # [T2, SUB_N^3, V, 3]
     q = jnp.stack(
         [
             M[s, 0] * o[..., 0] + M[s, 1] * o[..., 1] + M[s, 2] * o[..., 2]
@@ -333,7 +347,7 @@ def warp_affine_supertile(
             for s in range(3)
         ],
         axis=-1,
-    ).reshape(T2 * nsub, TILE ** 3, 3)
+    ).reshape(T2 * nsub, stile ** 3, 3)
 
     T = T2 * nsub
     n_chunks = -(-T // chunk)
@@ -352,8 +366,8 @@ def warp_affine_supertile(
     out = out.reshape(n_chunks * chunk, C, -1)[:T]
 
     # Untile: (sz,sy,sx),(dz,dy,dx),(vz,vy,vx) -> [C, *S]
-    out = out.reshape(Gs[0], Gs[1], Gs[2], SUB, SUB, SUB, C,
-                      TILE, TILE, TILE)
+    out = out.reshape(Gs[0], Gs[1], Gs[2], SUB_N, SUB_N, SUB_N, C,
+                      stile, stile, stile)
     out = out.transpose(6, 0, 3, 7, 1, 4, 8, 2, 5, 9).reshape(
         C, Gs[0] * SUPER, Gs[1] * SUPER, Gs[2] * SUPER
     )
@@ -476,11 +490,12 @@ def warp_affine_fast(theta, moving, align_corners: bool = False):
     if min(spatial) >= SUPER:
         # Latency-shaped volumes: SUPER^3 slice fetches + uniform-offset
         # restack (216 slices at 240^3 vs 13824) — same exactness oracle.
-        Bs, B2, P = _supertile_plan(theta, spatial, align_corners)
+        Bs, B2, P = _supertile_plan(theta, spatial, align_corners,
+                                    stile=SUPER_STILE)
         if Bs <= _MAX_BLOCK and B2 <= min(min(spatial) + 2 * P, 128):
             return warp_affine_supertile(
                 theta, moving, align_corners,
-                block_sub=Bs, block_super=B2, pad=P,
+                block_sub=Bs, block_super=B2, pad=P, stile=SUPER_STILE,
             )
     return warp_affine_blocked(theta, moving, align_corners, block=B)
 
