@@ -1,7 +1,8 @@
-"""Profile the super-tile exact resampler's stages on the real chip.
+"""Profile the super-tile exact resampler (v2: slab gather + one-hot restack)
+on the real chip.
 
-Times (a) the full warp, (b) gather-only, (c) gather+restack, isolating the
-hat-contraction share — the sizing data for picking the sub-tile edge.
+Times the full warp across sub-tile edges and chunk sizes, plus the isolated
+slab-gather stage — the sizing data for SUPER_STILE and the chunk default.
 
 Usage: python benchmarks/probe_supertile.py
 """
@@ -44,32 +45,29 @@ def main():
     vol = jnp.asarray(rng.standard_normal((1, 1) + shape, np.float32))
     theta = rigid_theta(jnp.asarray([0.06, -0.04, 0.05, 0.2, -0.15, 0.1]))[None]
 
-    Bs, B2, P = B._supertile_plan(theta, shape)
-    print(f"plan: block_sub={Bs} block_super={B2} pad={P}", flush=True)
+    plan = B._supertile_plan(theta, shape)
+    print(f"plan: {plan}", flush=True)
 
     t_full = timeit(
-        lambda: sync(
-            B.warp_affine_supertile(
-                theta, vol, block_sub=Bs, block_super=B2, pad=P
-            )
-        )
+        lambda: sync(B.warp_affine_supertile(theta, vol, plan=plan))
     )
-    print(f"full supertile warp: {t_full * 1e3:.1f} ms", flush=True)
+    print(f"full supertile warp (stile=10): {t_full * 1e3:.1f} ms", flush=True)
 
-    # Stage probes replicate the warp's internals via jitted sub-programs.
+    # Isolated slab-gather stage.
     from functools import partial
 
     from torchregister_tpu.ops.separable import affine_to_index_map
+    from torchregister_tpu.ops.transforms import as_matrix
 
     SUPER = B.SUPER
 
-    @partial(jax.jit, static_argnames=("B2", "P"))
-    def gather_only(theta, moving, B2, P):
-        from torchregister_tpu.ops.transforms import as_matrix
-
+    @partial(jax.jit, static_argnames=("plan",))
+    def gather_only(theta, moving, plan):
         theta = as_matrix(theta)
         spatial = moving.shape[2:]
         C = moving.shape[1]
+        B2, P = plan.block_super, plan.pad
+        SLz, SLy = plan.slab
         M, t = affine_to_index_map(theta[0], spatial, False)
         Gs = [-(-s // SUPER) for s in spatial]
         og = jnp.stack(
@@ -78,110 +76,62 @@ def main():
                 indexing="ij",
             ),
             -1,
-        ).reshape(-1, 3)
+        )
         corn = jnp.stack(
             jnp.meshgrid(*[jnp.asarray([0.0, SUPER - 1.0])] * 3, indexing="ij"),
             -1,
-        ).reshape(1, 8, 3)
-        oc = og[:, None, :] + corn
-        qcorn = jnp.stack(
-            [
-                M[s, 0] * oc[..., 0]
-                + M[s, 1] * oc[..., 1]
-                + M[s, 2] * oc[..., 2]
-                + t[s]
-                for s in range(3)
-            ],
-            axis=-1,
+        ).reshape(8, 3)
+        hi = jax.lax.Precision.HIGHEST
+        qcorn = (
+            jnp.einsum("zyxj,aj->zyxa", og, M, precision=hi)[..., None, :]
+            + (corn @ M.T + t)
         )
-        base = jnp.floor(jnp.min(qcorn, axis=1)) - 1.0
+        base = jnp.floor(jnp.min(qcorn, axis=-2)) - 1.0
         sizes = jnp.asarray(spatial, jnp.int32)
         base_i = jnp.clip(base.astype(jnp.int32) + P, 0, sizes + 2 * P - B2)
+        Xp = spatial[2] + 2 * P
         volp = jnp.pad(moving[0], ((0, 0),) + ((P, P),) * 3)
+        slab_zy = jnp.min(base_i[..., :2], axis=2)
+        slab_zy = jnp.clip(
+            slab_zy, 0,
+            jnp.asarray(
+                [spatial[0] + 2 * P - SLz, spatial[1] + 2 * P - SLy], jnp.int32
+            ),
+        )
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3, 4),
             collapsed_slice_dims=(),
-            start_index_map=(1, 2, 3),
+            start_index_map=(1, 2),
         )
-        supers = jax.lax.gather(
-            volp,
-            base_i,
-            dn,
-            slice_sizes=(C, B2, B2, B2),
+        return jax.lax.gather(
+            volp, slab_zy.reshape(-1, 2), dn, slice_sizes=(C, SLz, SLy, Xp),
             mode=jax.lax.GatherScatterMode.CLIP,
         )
-        return supers
 
-    @partial(jax.jit, static_argnames=("Bs", "B2"))
-    def restack_only(supers, theta, spatial, Bs, B2):
-        from torchregister_tpu.ops.transforms import as_matrix
+    t_gather = timeit(lambda: sync(gather_only(theta, vol, plan)))
+    print(f"slab gather stage: {t_gather * 1e3:.1f} ms", flush=True)
 
-        theta = as_matrix(theta)
-        M, t = affine_to_index_map(theta[0], spatial, False)
-        T2 = supers.shape[0]
-        C = supers.shape[1]
-        SUB = B.SUB
-        TILE = B.TILE
-        dgrid = jnp.stack(
-            jnp.meshgrid(*[jnp.arange(SUB, dtype=jnp.float32)] * 3, indexing="ij"),
-            -1,
-        ).reshape(-1, 3)
-        c_d = float(TILE) * jnp.einsum("dj,aj->da", dgrid, M)
-        offs = jnp.floor(c_d - jnp.min(c_d, axis=0)).astype(jnp.int32)
-        offs = jnp.clip(offs, 0, B2 - Bs)
-        nsub = SUB**3
-        blk = jnp.stack(
-            [
-                jax.lax.dynamic_slice(
-                    supers,
-                    (0, 0, offs[d, 0], offs[d, 1], offs[d, 2]),
-                    (T2, C, Bs, Bs, Bs),
-                )
-                for d in range(nsub)
-            ],
-            axis=1,
-        ).reshape(T2 * nsub, C, Bs, Bs, Bs)
-        return blk
-
-    spatial = (240, 240, 240)
-    t_gather = timeit(lambda: sync(gather_only(theta, vol, B2, P)))
-    supers = gather_only(theta, vol, B2, P)
-    t_restack = timeit(lambda: sync(restack_only(supers, theta, spatial, Bs, B2)))
-    print(f"gather stage:  {t_gather * 1e3:.1f} ms", flush=True)
-    print(f"restack stage: {t_restack * 1e3:.1f} ms", flush=True)
-    print(
-        f"hat-contraction (residual): {(t_full - t_gather - t_restack) * 1e3:.1f} ms",
-        flush=True,
-    )
-
-    # chunk sensitivity
     for chunk in (216, 432, 864, 1728):
         tt = timeit(
             lambda c=chunk: sync(
-                B.warp_affine_supertile(
-                    theta, vol, block_sub=Bs, block_super=B2, pad=P, chunk=c
-                )
+                B.warp_affine_supertile(theta, vol, plan=plan, chunk=c)
             )
         )
         print(f"chunk={chunk}: {tt * 1e3:.1f} ms", flush=True)
 
-    # sub-tile edge sweep: MACs/voxel = block_sub^3 (16^3=4096 at stile 10,
-    # 14^3=2744 at 8, 10^3=1000 at 5) vs per-tile einsum shape efficiency
-    for stile in (8, 5, 4):
-        Bs_s, B2_s, P_s = B._supertile_plan(theta, shape, stile=stile)
-        for chunk in (432, 1728):
-            tt = timeit(
-                lambda s=stile, a=Bs_s, b=B2_s, p=P_s, c=chunk: sync(
-                    B.warp_affine_supertile(
-                        theta, vol, block_sub=a, block_super=b, pad=p,
-                        chunk=c, stile=s,
-                    )
-                )
+    # sub-tile edge sweep: hat MACs/voxel scale as ~prod(bsub) while the
+    # one-hot restack shrinks with fewer, larger sub-tiles. (stile=5 OOMs:
+    # SUB_N=8 makes the one-hot stage-Y output [6,6,6,8,8,8,1,16,16,16],
+    # 13.5 GB after the (8,128) trailing-dim padding.)
+    for stile in (20, 8):
+        plan_s = B._supertile_plan(theta, shape, stile=stile)
+        tt = timeit(
+            lambda p=plan_s: sync(
+                B.warp_affine_supertile(theta, vol, plan=p)
             )
-            print(
-                f"stile={stile} (Bs={Bs_s}, chunk={chunk}): {tt * 1e3:.1f} ms",
-                flush=True,
-            )
+        )
+        print(f"stile={stile} (bsub={plan_s.bsub}): {tt * 1e3:.1f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -194,10 +194,8 @@ def test_warp_affine_supertile_matches_exact(align, shape, angle):
 
     moving = _rand((1, 2) + shape, 7)
     theta = _rot_theta(angle)
-    Bs, B2, P = _supertile_plan(theta, shape, align)
-    ours = warp_affine_supertile(
-        theta, moving, align, block_sub=Bs, block_super=B2, pad=P
-    )
+    plan = _supertile_plan(theta, shape, align)
+    ours = warp_affine_supertile(theta, moving, align, plan=plan)
     ref = warp_affine(theta, moving, align)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
 
@@ -213,17 +211,18 @@ def test_warp_affine_supertile_zeros_padding_at_edges():
     shape = (44, 48, 41)
     moving = jnp.ones((1, 1) + shape, jnp.float32)
     theta = jnp.asarray([[[1.0, 0, 0, 0.9], [0, 1.0, 0, -0.8], [0, 0, 1.0, 0.5]]])
-    Bs, B2, P = _supertile_plan(theta, shape, False)
-    ours = warp_affine_supertile(
-        theta, moving, block_sub=Bs, block_super=B2, pad=P
-    )
+    plan = _supertile_plan(theta, shape, False)
+    ours = warp_affine_supertile(theta, moving, plan=plan)
     ref = warp_affine(theta, moving)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
 
 
-def test_warp_affine_fast_routes_supertile():
-    """The eager wrapper picks the super-tile path for >=SUPER volumes and
-    stays exact."""
+def test_warp_affine_fast_routes_supertile(monkeypatch):
+    """With the experimental flag on, the eager wrapper picks the super-tile
+    path for >=SUPER volumes and stays exact."""
+    from torchregister_tpu.ops import blocked
+
+    monkeypatch.setattr(blocked, "SUPERTILE_ENABLED", True)
     shape = (48, 44, 52)
     moving = _rand((1, 1) + shape, 9)
     theta = _rot_theta(0.3)
@@ -236,9 +235,11 @@ def test_supertile_plan_scales_with_rotation():
     from torchregister_tpu.ops.blocked import _supertile_plan
 
     shape = (64, 64, 64)
-    bs0, b20, _ = _supertile_plan(_rot_theta(0.0, (0, 0, 0)), shape, False)
-    bs1, b21, _ = _supertile_plan(_rot_theta(0.5, (0, 0, 0)), shape, False)
-    assert bs1 > bs0 and b21 > b20
+    p0 = _supertile_plan(_rot_theta(0.0, (0, 0, 0)), shape, False)
+    p1 = _supertile_plan(_rot_theta(0.5, (0, 0, 0)), shape, False)
+    assert p1.block_sub > p0.block_sub
+    assert p1.block_super > p0.block_super
+    assert max(p1.bsub) >= max(p0.bsub)
 
 
 @pytest.mark.parametrize("stile", [8, 5])
@@ -255,9 +256,7 @@ def test_warp_affine_supertile_stile_variants(stile):
     shape = (48, 52, 41)
     moving = _rand((1, 2) + shape, 11)
     theta = _rot_theta(0.3)
-    Bs, B2, P = _supertile_plan(theta, shape, False, stile=stile)
-    ours = warp_affine_supertile(
-        theta, moving, block_sub=Bs, block_super=B2, pad=P, stile=stile
-    )
+    plan = _supertile_plan(theta, shape, False, stile=stile)
+    ours = warp_affine_supertile(theta, moving, plan=plan)
     ref = warp_affine(theta, moving)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+import typing
 from typing import Sequence
 
 import numpy as np
@@ -112,17 +113,30 @@ def flow_tile_extent(flow: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(ext)
 
 
-def _hat_contract(blk, qc, org, B: int):
-    """Exact trilinear values of per-tile blocks ``blk [n, C, B, B, B]``
-    (fetched at integer origins ``org [n, 3]``) at coords ``qc [n, V, 3]``
-    via per-axis hat-function contractions. Returns ``[n, C, V]``."""
-    iota = jnp.arange(B, dtype=jnp.float32)
-    pos = org.astype(jnp.float32)[:, :, None] + iota  # [n, 3, B]
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(qc[:, :, :, None] - pos[:, None]))
+def _hat_contract3(blk, qc, orgz, orgy, orgx):
+    """Exact trilinear values of per-tile blocks ``blk [n, C, Bz, By, Bx]``
+    (fetched at integer per-axis origins ``org* [n]``) at coords
+    ``qc [n, V, 3]`` via per-axis hat-function contractions. Returns
+    ``[n, C, V]``. Hats are evaluated against *absolute* source positions, so
+    any block rows outside a voxel's 2-point support simply get zero weight —
+    blocks may overcover their tile's support without changing values."""
     hi = jax.lax.Precision.HIGHEST
-    t1 = jnp.einsum("tva,tcabx->tcvbx", w[:, :, 0], blk, precision=hi)
-    t2 = jnp.einsum("tvb,tcvbx->tcvx", w[:, :, 1], t1, precision=hi)
-    return jnp.einsum("tvx,tcvx->tcv", w[:, :, 2], t2, precision=hi)
+
+    def hat(axis, org, B):
+        pos = org.astype(jnp.float32)[:, None] + jnp.arange(B, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(qc[:, :, axis, None] - pos[:, None]))
+
+    wz = hat(0, orgz, blk.shape[2])
+    wy = hat(1, orgy, blk.shape[3])
+    wx = hat(2, orgx, blk.shape[4])
+    t1 = jnp.einsum("tva,tcabx->tcvbx", wz, blk, precision=hi)
+    t2 = jnp.einsum("tvb,tcvbx->tcvx", wy, t1, precision=hi)
+    return jnp.einsum("tvx,tcvx->tcv", wx, t2, precision=hi)
+
+
+def _hat_contract(blk, qc, org, B: int):
+    """Cubic-block special case of :func:`_hat_contract3` (``org [n, 3]``)."""
+    return _hat_contract3(blk, qc, org[:, 0], org[:, 1], org[:, 2])
 
 
 def _hat_block_resample(vol, q, spatial, B: int, chunk: int):
@@ -179,24 +193,40 @@ def _untile(out_tcv, grids, spatial, C):
 
 
 SUB = 4  # sub-tiles per super-tile edge (at the default stile)
-SUPER = SUB * TILE  # super-tile edge (40): the slice-gather granularity
+SUPER = SUB * TILE  # super-tile edge (40): the slab granularity
+SUPERTILE_ENABLED = False  # measured slower than the blocked path on v5e
+# (see warp_affine_fast); flip to route >=SUPER volumes through it
 SUPER_STILE = TILE  # sub-tile edge used by warp_affine_fast (divisor of
-# SUPER; the hat-contraction MACs/voxel scale as Bs^3 ~ (stile*rowsum+6)^3,
+# SUPER; the hat-contraction MACs/voxel scale as ~Bs^3 ~ (stile*rowsum+6)^3,
 # so smaller stiles trade einsum shape efficiency for much fewer FLOPs)
 
 
+class SupertilePlan(typing.NamedTuple):
+    """Static sizing for :func:`warp_affine_supertile` (host-derived from a
+    concrete theta by :func:`_supertile_plan`; hashable — used as a jit-static
+    argument, so warps recompile only when a *size* changes, not per theta)."""
+
+    block_sub: int  # base sub-tile support edge Bs
+    bsub: tuple  # per-axis overcovered sub-block (Bsz, Bsy, Bsx)
+    block_super: int  # B2: per-super support bound (origin-clip slack)
+    slab: tuple  # (SLz, SLy): slab extent in z/y (x spans the volume)
+    pad: int  # zero-pad P on every face
+    stile: int  # sub-tile output edge
+
+
 def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False,
-                    stile: int = TILE):
-    """Host-side sizing for :func:`warp_affine_supertile`: ``(block_sub,
-    block_super, pad)``.
+                    stile: int = TILE) -> SupertilePlan:
+    """Host-side sizing for :func:`warp_affine_supertile`.
 
     The key fact making the super-tile decomposition work for *affine* maps:
-    the source-window offset of sub-tile ``d`` inside its super-tile's block,
-    ``floor(stile * d @ M.T - min_d ...)``, is the SAME for every super-tile
-    (linearity) — so the per-sub-tile restack is ``(SUPER/stile)^3``
-    ``dynamic_slice`` ops with *traced* starts, not a 13k-slice gather, and
-    none of the sizing here depends on ``t`` alone shifting (no per-theta
-    recompile beyond the quantized sizes).
+    the source-window offset of sub-tile ``d`` inside its super-tile's
+    support, ``floor(stile * d @ M.T - min_d ...)``, is the SAME for every
+    super-tile (linearity). v2 exploits it per axis: the offset spread of
+    axis ``a`` at fixed ``d_a`` (over the other two sub-coordinates) is tiny
+    (``stile * (sum of |M[a, other]|) * (SUB-1)``), so a slightly *overcovered*
+    per-axis window has an origin depending on ``d_a`` alone — which turns the
+    sub-block extraction into three separable one-hot shift contractions
+    (MXU matmuls) instead of short-row copies.
     """
     assert SUPER % stile == 0
     sub = SUPER // stile
@@ -212,22 +242,27 @@ def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False,
     Bs += -Bs % 2
     dgrid = np.stack(np.meshgrid(*[np.arange(sub)] * 3, indexing="ij"), -1)
     c = float(stile) * dgrid.reshape(-1, 3) @ M.T  # [sub^3, 3]
-    offs = np.floor(c - c.min(axis=0))
-    B2 = int(offs.max()) + Bs
+    offs = np.floor(c - c.min(axis=0)).reshape(sub, sub, sub, 3)
+    B2 = int(offs.max()) + Bs + 2  # +2: device f32 vs host f64 floor drift
     B2 += -B2 % 4
-    # exact base range over all super-tiles (for zero-padding the volume so
-    # block origins never need clipping — clipped origins would break the
-    # uniform-offset structure at volume edges)
+    # per-axis overcover: offset spread at fixed d_axis over the other two
+    # sub-coordinates (+2 device-drift slack)
+    bsub = []
+    for a, red in ((0, (1, 2)), (1, (0, 2)), (2, (0, 1))):
+        oa = np.moveaxis(offs[..., a], a, 0).reshape(sub, -1)
+        spread = int((oa.max(axis=1) - oa.min(axis=1)).max())
+        bsub.append(Bs + spread + 2)
+    # exact base range over all super-tiles (pad the volume so clipped
+    # origins stay support-exact at the edges)
     Gs = [-(-s // SUPER) for s in spatial]
-    # corners of every super box, vectorized: super origins [T2, 3]
     og = np.stack(
         np.meshgrid(*[np.arange(g) * SUPER for g in Gs], indexing="ij"), -1
-    ).reshape(-1, 3).astype(np.float64)
+    ).astype(np.float64)  # [G0, G1, G2, 3]
     corn = np.stack(
         np.meshgrid(*[np.array([0.0, SUPER - 1.0])] * 3, indexing="ij"), -1
     ).reshape(-1, 3)
-    qc = (og[:, None, :] + corn[None, :, :]) @ M.T + t  # [T2, 8, 3]
-    base = np.floor(qc.min(axis=1)) - 1.0  # [T2, 3]
+    qc = og[..., None, :] @ M.T.reshape(1, 1, 1, 3, 3) + (corn @ M.T + t)
+    base = np.floor(qc.min(axis=-2)) - 1.0  # [G0, G1, G2, 3]
     pad = max(
         0.0,
         float(-base.min()),
@@ -235,141 +270,206 @@ def _supertile_plan(theta, spatial: Sequence[int], align_corners: bool = False,
     )
     P = int(math.ceil(pad)) + 2  # +2: device f32 vs host f64 floor drift
     P += -P % 8
-    return Bs, B2, P
+    # slab z/y extents: per-(gz, gy) origin spread across the x-supers
+    # (+4: device floor drift on both the slab min and the member bases)
+    slab = []
+    for a in (0, 1):
+        ba = np.moveaxis(base[..., a], 2, 0).reshape(base.shape[2], -1)
+        spread = int(np.ceil((ba.max(axis=0) - ba.min(axis=0)).max()))
+        slab.append(B2 + spread + 4)
+    return SupertilePlan(
+        block_sub=Bs, bsub=tuple(bsub), block_super=B2,
+        slab=tuple(slab), pad=P, stile=stile,
+    )
 
 
-@partial(jax.jit, static_argnames=("align_corners", "block_sub",
-                                   "block_super", "pad", "chunk", "stile"))
+@partial(jax.jit, static_argnames=("align_corners", "plan", "chunk"))
 def warp_affine_supertile(
     theta: jnp.ndarray,
     moving: jnp.ndarray,
     align_corners: bool = False,
-    block_sub: int = 16,
-    block_super: int = 64,
-    pad: int = 56,
+    plan: SupertilePlan = None,
     chunk: int = 432,
-    stile: int = TILE,
 ) -> jnp.ndarray:
-    """Exact affine warp (grid_sample parity) via SUPER^3 slice gathers +
-    uniform-offset sub-tile restack — the latency fix for the blocked
-    resampler: 216 slice fetches at 240^3 instead of 13824 (the per-slice
-    ~3.3 us XLA gather latency was ~60 of its 76 ms).
+    """Exact affine warp (grid_sample parity) — the data-movement-shaped
+    rewrite of the blocked resampler.
 
-    ``stile`` is the hat-contraction sub-tile edge (any divisor of SUPER):
-    the restack slices ``(SUPER/stile)^3`` sub-blocks per super-tile and the
-    contraction runs ``block_sub^3`` MACs per output voxel.
+    The per-tile slice gather is latency/short-row-bound on TPU: 14^3 blocks
+    read 56-byte rows (measured ~60 of the 76 ms at 240^3), and a
+    dynamic-slice restack from 52^3 super-blocks is no better (64-byte rows,
+    41 ms measured). v2 therefore never copies short rows:
+
+    1. ONE gather of ``(gz, gy)``-slab blocks ``[SLz, SLy, X+2P]`` — full-X
+       rows (~1.2 KB at 240^3) are DMA-efficient;
+    2. sub-tile blocks are extracted by three separable ONE-HOT SHIFT
+       contractions (MXU matmuls, exact 0/1 selection at f32-HIGHEST): the
+       per-axis window origin depends only on that axis's sub-coordinate
+       (plus the super index), with a small static overcover absorbing the
+       cross-axis offset coupling (see :func:`_supertile_plan`);
+    3. the usual hat contraction — absolute-position hats make overcovered
+       rows exact no-ops, so no residual re-slicing is needed.
 
     Sizing must come from :func:`_supertile_plan` for this theta AND stile
     (the eager wrapper :func:`warp_affine_fast` does this); reference
     semantics warpings.py:18-26 (zeros padding, align_corners=False default).
     """
+    stile = plan.stile
     assert SUPER % stile == 0
     SUB_N = SUPER // stile
     theta = as_matrix(theta)
     spatial = moving.shape[2:]
     assert moving.shape[0] == 1 and len(spatial) == 3
     C = moving.shape[1]
-    Bs, B2, P = block_sub, block_super, pad
+    Bs, B2, P = plan.block_sub, plan.block_super, plan.pad
+    Bsz, Bsy, Bsx = plan.bsub
+    SLz, SLy = plan.slab
     M, t = affine_to_index_map(theta[0], spatial, align_corners)
+    hi = jax.lax.Precision.HIGHEST
 
     Gs = [-(-s // SUPER) for s in spatial]
-    T2 = Gs[0] * Gs[1] * Gs[2]
+    G0, G1, G2 = Gs
     og = jnp.stack(
         jnp.meshgrid(*[jnp.arange(g, dtype=jnp.float32) * SUPER for g in Gs],
                      indexing="ij"), -1
-    ).reshape(-1, 3)  # [T2, 3]
+    )  # [G0, G1, G2, 3]
 
-    # Super-block origins: floor(min over the 8 corners of each super box) - 1
-    # (the min of a linear map over a box sits at a corner — exact).
+    # Per-super support origins: floor(min over the 8 corners of the super
+    # box) - 1 (the min of a linear map over a box sits at a corner — exact).
     corn = jnp.stack(
         jnp.meshgrid(*[jnp.asarray([0.0, SUPER - 1.0])] * 3, indexing="ij"), -1
-    ).reshape(1, 8, 3)
-    oc = og[:, None, :] + corn  # [T2, 8, 3]
-    qcorn = jnp.stack(
-        [
-            M[s, 0] * oc[..., 0] + M[s, 1] * oc[..., 1] + M[s, 2] * oc[..., 2]
-            + t[s]
-            for s in range(3)
-        ],
-        axis=-1,
-    )
-    base = jnp.floor(jnp.min(qcorn, axis=1)) - 1.0  # [T2, 3] float
+    ).reshape(8, 3)
+    qcorn = (
+        jnp.einsum("zyxj,aj->zyxa", og, M, precision=hi)[..., None, :]
+        + (corn @ M.T + t)
+    )  # [G0, G1, G2, 8, 3]
+    base = jnp.floor(jnp.min(qcorn, axis=-2)) - 1.0
     sizes = jnp.asarray(spatial, jnp.int32)
     base_i = jnp.clip(base.astype(jnp.int32) + P, 0, sizes + 2 * P - B2)
 
+    Xp = spatial[2] + 2 * P
     volp = jnp.pad(moving[0], ((0, 0),) + ((P, P),) * 3)
+
+    # --- stage 1: (gz, gy)-slab gather (full-X rows) ---------------------
+    slab_zy = jnp.min(base_i[..., :2], axis=2)  # [G0, G1, 2]
+    slab_zy = jnp.clip(
+        slab_zy, 0,
+        jnp.asarray([spatial[0] + 2 * P - SLz, spatial[1] + 2 * P - SLy],
+                    jnp.int32),
+    )
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3, 4),
         collapsed_slice_dims=(),
-        start_index_map=(1, 2, 3),
+        start_index_map=(1, 2),
     )
-    supers = jax.lax.gather(
-        volp, base_i, dn, slice_sizes=(C, B2, B2, B2),
+    slabs = jax.lax.gather(
+        volp, slab_zy.reshape(-1, 2), dn, slice_sizes=(C, SLz, SLy, Xp),
         mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [T2, C, B2, B2, B2]
+    ).reshape(G0, G1, C, SLz, SLy, Xp)
 
-    # Uniform sub-tile offsets (same for every super-tile — linearity):
+    # --- per-axis sub-tile window origins --------------------------------
+    # Sub-tile offsets are uniform across supers (linearity); the per-axis
+    # origin uses the min over the other two sub-coordinates, the spread
+    # being absorbed by the overcovered Bs* (plan).
     dgrid = jnp.stack(
         jnp.meshgrid(*[jnp.arange(SUB_N, dtype=jnp.float32)] * 3,
                      indexing="ij"),
         -1,
-    ).reshape(-1, 3)  # [SUB_N^3, 3]
-    c_d = float(stile) * jnp.einsum("dj,aj->da", dgrid, M)  # [SUB_N^3, 3]
-    offs = jnp.floor(c_d - jnp.min(c_d, axis=0)).astype(jnp.int32)
-    offs = jnp.clip(offs, 0, B2 - Bs)  # no-op under a correct plan
+    )  # [SUB_N, SUB_N, SUB_N, 3] (dz, dy, dx)
+    c_d = float(stile) * jnp.einsum("zyxj,aj->zyxa", dgrid, M, precision=hi)
+    offs = jnp.floor(c_d - jnp.min(c_d, axis=(0, 1, 2)))  # [dz, dy, dx, 3]
+    oz_min = jnp.min(offs[..., 0], axis=(1, 2)).astype(jnp.int32)  # [dz]
+    oy_min = jnp.min(offs[..., 1], axis=(0, 2)).astype(jnp.int32)  # [dy]
+    ox_min = jnp.min(offs[..., 2], axis=(0, 1)).astype(jnp.int32)  # [dx]
+
+    # Absolute per-axis origins (padded coords), decoupled per stage:
+    #   x: [G0, G1, G2, dx]; z: [G0, G1, G2, dz] (slab-relative); y likewise.
+    orx = jnp.clip(base_i[..., 2, None] + ox_min, 0, Xp - Bsx)
+    orz = jnp.clip(
+        base_i[..., 0, None] - slab_zy[:, :, None, 0, None] + oz_min,
+        0, SLz - Bsz,
+    )
+    ory = jnp.clip(
+        base_i[..., 1, None] - slab_zy[:, :, None, 1, None] + oy_min,
+        0, SLy - Bsy,
+    )
+
+    def one_hot(origins, B, L):
+        # [..., B, L] 0/1 selection: row k picks source index origin + k
+        ar = jnp.arange(L, dtype=jnp.int32)
+        return (
+            origins[..., None, None] + jnp.arange(B, dtype=jnp.int32)[:, None]
+            == ar
+        ).astype(jnp.float32)
+
+    # --- stage 2: separable one-hot shift contractions (MXU) -------------
+    SX = one_hot(orx, Bsx, Xp)  # [G0, G1, G2, dx, Bsx, Xp]
+    t1 = jnp.einsum("zygdkX,zycZYX->zygdcZYk", SX, slabs, precision=hi)
+    SZ = one_hot(orz, Bsz, SLz)  # [G0, G1, G2, dz, Bsz, SLz]
+    t2 = jnp.einsum("zygeiZ,zygdcZYk->zygdeciYk", SZ, t1, precision=hi)
+    SY = one_hot(ory, Bsy, SLy)  # [G0, G1, G2, dy, Bsy, SLy]
+    t3 = jnp.einsum("zygfjY,zygdeciYk->zygdefcijk", SY, t2, precision=hi)
+    # t3: [G0, G1, G2, dx, dz, dy, C, Bsz, Bsy, Bsx]
 
     nsub = SUB_N ** 3
-    blk = jnp.stack(
-        [
-            jax.lax.dynamic_slice(
-                supers, (0, 0, offs[d, 0], offs[d, 1], offs[d, 2]),
-                (T2, C, Bs, Bs, Bs),
-            )
-            for d in range(nsub)
-        ],
-        axis=1,
-    ).reshape(T2 * nsub, C, Bs, Bs, Bs)
+    T = G0 * G1 * G2 * nsub
+    blk = t3.reshape(T, C, Bsz, Bsy, Bsx)
 
-    # Per-tile block origins in UNPADDED index space + output coordinates,
-    # ordered (super z,y,x) major, (sub z,y,x), then tile-local (z,y,x).
-    org = (base_i[:, None, :] - P + offs[None, :, :]).reshape(-1, 3)
+    # --- stage 3: hat contraction (absolute positions, unpadded coords) --
+    # Origins/coords in tile order (gz, gy, gx, dx, dz, dy) matching t3.
+    def tile_axis(vals_gdim, dord):  # [G0,G1,G2,d] -> [T] in (dx,dz,dy) order
+        v = vals_gdim
+        if dord == 0:  # dz: broadcast over (dx, dy)
+            v = v[:, :, :, None, :, None]
+        elif dord == 1:  # dy
+            v = v[:, :, :, None, None, :]
+        else:  # dx
+            v = v[:, :, :, :, None, None]
+        return jnp.broadcast_to(v, (G0, G1, G2, SUB_N, SUB_N, SUB_N)).reshape(T)
+
+    orgz = tile_axis(orz + slab_zy[:, :, None, 0, None], 0) - P
+    orgy = tile_axis(ory + slab_zy[:, :, None, 1, None], 1) - P
+    orgx = tile_axis(orx, 2) - P
+
     l = jnp.arange(stile, dtype=jnp.float32)
     loc = jnp.stack(jnp.meshgrid(l, l, l, indexing="ij"), -1).reshape(-1, 3)
-    o = (
-        og[:, None, None, :]
-        + float(stile) * dgrid[None, :, None, :]
-        + loc[None, None, :, :]
-    )  # [T2, SUB_N^3, V, 3]
-    q = jnp.stack(
-        [
-            M[s, 0] * o[..., 0] + M[s, 1] * o[..., 1] + M[s, 2] * o[..., 2]
-            + t[s]
-            for s in range(3)
-        ],
+    d_out = jnp.stack(
+        [tile_axis(jnp.broadcast_to(
+            float(stile) * jnp.arange(SUB_N, dtype=jnp.float32),
+            (G0, G1, G2, SUB_N)), a) for a in range(3)],
         axis=-1,
-    ).reshape(T2 * nsub, stile ** 3, 3)
+    )  # [T, 3] sub-tile output offsets
+    og_t = jnp.stack(
+        [tile_axis(jnp.broadcast_to(
+            og[..., a, None], (G0, G1, G2, SUB_N)), a) for a in range(3)],
+        axis=-1,
+    )  # hmm: og per super broadcast over d — see below
+    o = (og_t + d_out)[:, None, :] + loc[None, :, :]  # [T, V, 3]
+    q = jnp.einsum("tvj,aj->tva", o, M, precision=hi) + t
 
-    T = T2 * nsub
     n_chunks = -(-T // chunk)
     padn = n_chunks * chunk - T
     blk_p = jnp.pad(blk, ((0, padn),) + ((0, 0),) * 4)
     q_p = jnp.pad(q, ((0, padn), (0, 0), (0, 0)))
-    org_p = jnp.pad(org, ((0, padn), (0, 0)))
+    oz_p = jnp.pad(orgz, (0, padn))
+    oy_p = jnp.pad(orgy, (0, padn))
+    ox_p = jnp.pad(orgx, (0, padn))
     out = jax.lax.map(
-        lambda args: _hat_contract(args[0], args[1], args[2], Bs),
+        lambda a: _hat_contract3(a[0], a[1], a[2], a[3], a[4]),
         (
-            blk_p.reshape(n_chunks, chunk, C, Bs, Bs, Bs),
+            blk_p.reshape(n_chunks, chunk, C, Bsz, Bsy, Bsx),
             q_p.reshape(n_chunks, chunk, -1, 3),
-            org_p.reshape(n_chunks, chunk, 3),
+            oz_p.reshape(n_chunks, chunk),
+            oy_p.reshape(n_chunks, chunk),
+            ox_p.reshape(n_chunks, chunk),
         ),
     )
     out = out.reshape(n_chunks * chunk, C, -1)[:T]
 
-    # Untile: (sz,sy,sx),(dz,dy,dx),(vz,vy,vx) -> [C, *S]
-    out = out.reshape(Gs[0], Gs[1], Gs[2], SUB_N, SUB_N, SUB_N, C,
+    # Untile: (gz,gy,gx),(dx,dz,dy),(vz,vy,vx) -> [C, *S]
+    out = out.reshape(G0, G1, G2, SUB_N, SUB_N, SUB_N, C,
                       stile, stile, stile)
-    out = out.transpose(6, 0, 3, 7, 1, 4, 8, 2, 5, 9).reshape(
-        C, Gs[0] * SUPER, Gs[1] * SUPER, Gs[2] * SUPER
+    out = out.transpose(6, 0, 4, 7, 1, 5, 8, 2, 3, 9).reshape(
+        C, G0 * SUPER, G1 * SUPER, G2 * SUPER
     )
     return out[None, :, : spatial[0], : spatial[1], : spatial[2]]
 
@@ -487,16 +587,24 @@ def warp_affine_fast(theta, moving, align_corners: bool = False):
     B += -B % 2
     if B > min(_MAX_BLOCK, min(spatial)):
         return warp_affine(theta, moving, align_corners)
-    if min(spatial) >= SUPER:
-        # Latency-shaped volumes: SUPER^3 slice fetches + uniform-offset
-        # restack (216 slices at 240^3 vs 13824) — same exactness oracle.
-        Bs, B2, P = _supertile_plan(theta, spatial, align_corners,
-                                    stile=SUPER_STILE)
-        if Bs <= _MAX_BLOCK and B2 <= min(min(spatial) + 2 * P, 128):
-            return warp_affine_supertile(
-                theta, moving, align_corners,
-                block_sub=Bs, block_super=B2, pad=P, stile=SUPER_STILE,
-            )
+    if SUPERTILE_ENABLED and min(spatial) >= SUPER:
+        # Experimental: slab gather + one-hot restack (full-X rows instead
+        # of 13824 short-row slices at 240^3). Measured SLOWER than the
+        # plain blocked path on v5e (128 ms vs 67 ms at 240^3): XLA pads
+        # every materialized intermediate's trailing block dims to the
+        # (8,128) tile, a ~6x memory/MAC inflation that dominates what the
+        # efficient gather saves. Kept (value-exact, tested) as the base
+        # for a future Pallas fusion; off by default.
+        plan = _supertile_plan(theta, spatial, align_corners,
+                               stile=SUPER_STILE)
+        P = plan.pad
+        if (
+            max(plan.bsub) <= _MAX_BLOCK
+            and plan.slab[0] <= spatial[0] + 2 * P
+            and plan.slab[1] <= spatial[1] + 2 * P
+        ):
+            return warp_affine_supertile(theta, moving, align_corners,
+                                         plan=plan)
     return warp_affine_blocked(theta, moving, align_corners, block=B)
 
 

@@ -62,23 +62,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 # Auto-routing gate: TapConv's 'auto' mode uses the kernel only when True.
-# Flipped False if the kernel structure changes until re-validated on
-# hardware (bench.py's pallas_selftest is the on-hardware value gate).
-PALLAS_CONV_ENABLED = True
+#
+# OFF after the r3 fwd+bwd A/B on v5e: the kernel wins STANDALONE FORWARD
+# (2.95 ms vs tap 4.96 at 8->8 120^3 f32) but loses or ties in a training
+# loop, which is the only production use (engines are grad loops; the stored
+# flow, not the U-Net, serves `Register.__call__`). Loop-amortized
+# fwd+bwd/step at the 128^3 engine's shapes:
+#
+#   8->8 @124^3:  tap 6.15 ms   pallas 20.3 ms  (9.9 dw-grad-only; 6.2 with
+#   16->16 @58^3: tap 3.33      pallas  7.4      default-precision wgrad)
+#   16->8 @118^3: tap 7.61      pallas 26.6
+#
+# Root cause: XLA fuses the tap path's backward — the 27 weight-grad
+# einsums, the transposed-conv dx and the forward residuals share one
+# memory sweep — while the custom_vjp kernel boundary forces dw/dx into
+# separate full-volume passes (plus 3x z-role re-reads inside the kernel).
+# A locally-faster kernel that breaks the fusion boundary is a net loss:
+# the tap decomposition IS the TPU-correct training formulation. The kernel
+# stays available (use_pallas=True) for forward-dominated workloads and
+# keeps its interpret-mode tests + on-hardware bench selftest.
+PALLAS_CONV_ENABLED = False
 
-# Mosaic's scoped-VMEM stack runs 2.5-3.2x the naive ref+temporary estimate
+# Mosaic's scoped-VMEM stack runs 2.5-3.7x the naive ref+temporary estimate
 # (measured: 16.22 MB at a 6.43 MB estimate for 120^3 f32, 16.73 MB at a
-# 5.32 MB estimate for the Ci=32 decoder shape — each unrolled einsum
-# statement gets its own stack slot). The default 16 MB scoped limit is just
-# the `--xla_tpu_scoped_vmem_limit_kib` default, NOT the hardware: v5e has
+# 5.32 MB estimate for the Ci=32 decoder shape, 38.83 MB at a ~10.5 MB
+# estimate for the 128^3 engine's dec2 shape — each unrolled einsum statement
+# gets its own stack slot). The default 16 MB scoped limit is just the
+# `--xla_tpu_scoped_vmem_limit_kib` default, NOT the hardware: v5e has
 # 128 MB VMEM, and `CompilerParams(vmem_limit_bytes=...)` raises the scope
 # per-kernel (probed working at 32/64/100 MB on this axon stack; 240^3
-# variant A measured 21.9 ms/conv at a 90 MB limit — faster than variant C's
-# 25.6). Each pallas_call therefore requests `_VMEM_SAFETY x estimate`
-# (clamped to `_VMEM_CEIL`, leaving headroom out of 128 MB for XLA's own
-# buffers), and a variant is admitted while that request fits the ceiling.
-_VMEM_SAFETY = 3.5
-_VMEM_FLOOR = 32 << 20   # small estimates still get a 2x-calibration margin
+# variant A measured 21.9 ms/conv at a 90 MB request — faster than variant
+# C's 25.6). Each pallas_call therefore requests `_VMEM_SAFETY x estimate`
+# clamped to [`_VMEM_FLOOR`, `_VMEM_CEIL`] (the ceiling leaves headroom out
+# of 128 MB for XLA's own buffers). A variant is *admitted* at the smaller
+# `_VMEM_ADMIT x estimate <= ceiling` so a large kernel whose safety-scaled
+# request saturates the ceiling still runs (the request is a limit, not a
+# reservation — the 240^3 variant-A stack fits under 100 MB in practice).
+_VMEM_SAFETY = 4.0
+_VMEM_ADMIT = 3.2
+_VMEM_FLOOR = 48 << 20   # covers worst measured ratio for small estimates
 _VMEM_CEIL = 100 << 20
 HC = 64  # variant-C output rows per grid step (multiple of 8 — Mosaic
 # requires (8,128)-divisible or full-size trailing block dims)
@@ -125,9 +147,9 @@ def _compiler_params(est: int):
 
 def _pick_variant(ci: int, co: int, h: int, w: int, itemsize: int):
     wp = -(-(w - 2) // 128) * 128 + 2
-    if _VMEM_SAFETY * _est_a(ci, co, h, wp, itemsize) <= _VMEM_CEIL:
+    if _VMEM_ADMIT * _est_a(ci, co, h, wp, itemsize) <= _VMEM_CEIL:
         return "a"
-    if _VMEM_SAFETY * _est_c(ci, co, wp, itemsize) <= _VMEM_CEIL:
+    if _VMEM_ADMIT * _est_c(ci, co, wp, itemsize) <= _VMEM_CEIL:
         return "c"
     return None
 
