@@ -110,6 +110,30 @@ def test_fits_pallas_conv_budget():
     assert not fits_pallas_conv(8, 8, (10, 10), 4)  # 2D
 
 
+def test_vmem_request_calibration():
+    """The scoped-VMEM request covers the worst measured Mosaic stack ratio:
+    small estimates get the 48 MB floor (the 128^3 engine's dec2 shape
+    needed 38.83 MB against a ~10.5 MB naive estimate — a compile OOM at the
+    old 3.5x/32 MB calibration), large kernels are admitted at a smaller
+    multiplier than they request so the 240^3 variant-A shape still runs
+    under the 100 MB ceiling."""
+    from torchregister_tpu.ops.pallas.conv3d import (
+        _VMEM_CEIL,
+        _est_a,
+        _pick_variant,
+        _vmem_request,
+    )
+
+    # dec2 at the 128^3 engine: Ci=32 -> Co=16, H=58, Wp=130
+    est = _est_a(32, 16, 58, 130, 4)
+    assert _vmem_request(est) >= int(38.83 * 2**20)
+    assert _pick_variant(32, 16, 58, 128, 4) == "a"
+    # 240^3 8->8: request saturates near the ceiling but stays admitted
+    est_big = _est_a(8, 8, 240, 240, 4)
+    assert _vmem_request(est_big) <= _VMEM_CEIL
+    assert _pick_variant(8, 8, 240, 240, 4) == "a"
+
+
 def test_tapconv_pallas_path_matches_tap_path():
     """TapConv with the Pallas kernel produces the same outputs (and grads)
     as the tap decomposition — parameters are interchangeable."""

@@ -84,6 +84,48 @@ _FINE_A = 32
 _FINE_B = 32
 
 
+@jax.custom_vjp
+def _splat_matmul(prod: jnp.ndarray, oh_b: jnp.ndarray) -> jnp.ndarray:
+    """``einsum('nca,ncb->nab', prod, oh_b)`` at f32 accuracy in 3 MXU passes.
+
+    ``oh_b`` is 0/1 — EXACT in bf16 — so only the weighted side needs
+    splitting: a 3-way bf16 decomposition (hi+mid+lo covers f32's 24-bit
+    mantissa) reproduces the f32 product, 2x fewer passes than
+    ``precision=HIGHEST`` (6 bf16 passes over both operands). The raw split
+    is NOT autodiff-safe (the hi/mid/lo cotangents cancel in bf16, leaving
+    rounding garbage), hence the custom VJP: the backward is one
+    default-precision matmul — gradient noise ~2e-3 relative, irrelevant for
+    optimization and 6x cheaper than HIGHEST's backward.
+    """
+    hi = prod.astype(jnp.bfloat16)
+    rem = prod - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    oh_b = oh_b.astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        term = jnp.einsum(
+            "nca,ncb->nab", part, oh_b, preferred_element_type=jnp.float32
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def _splat_matmul_fwd(prod, oh_b):
+    return _splat_matmul(prod, oh_b), oh_b
+
+
+def _splat_matmul_bwd(oh_b, g):
+    d_prod = jnp.einsum(
+        "nab,ncb->nca", g, oh_b.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return d_prod, jnp.zeros(oh_b.shape, oh_b.dtype)
+
+
+_splat_matmul.defvjp(_splat_matmul_fwd, _splat_matmul_bwd)
+
+
 def _binned_histogram(signals: jnp.ndarray, x0, xe, chunk: int = 4096) -> jnp.ndarray:
     """Linear-splat soft histogram of ``signals [N, L]`` onto ``_FINE_BINS``
     uniform bins spanning ``[x0, xe]`` — differentiable w.r.t. ``signals``
@@ -106,19 +148,17 @@ def _binned_histogram(signals: jnp.ndarray, x0, xe, chunk: int = 4096) -> jnp.nd
         i0 = jnp.clip(jnp.floor(p), 0.0, G - 2.0)
         f = p - i0  # gradient w.r.t. sig rides here (d floor = 0)
         idx = i0.astype(jnp.int32)
-        out = jnp.zeros((n, G), signals.dtype)
+        out = jnp.zeros((n, G), jnp.float32)
         ar = jnp.arange(_FINE_A, dtype=jnp.int32)
         br = jnp.arange(_FINE_B, dtype=jnp.int32)
         for off, w in ((0, 1.0 - f), (1, f)):
             k = idx + off
-            oh_a = (k[..., None] // _FINE_B == ar).astype(signals.dtype)
-            oh_b = (k[..., None] % _FINE_B == br).astype(signals.dtype)
-            h2 = jnp.einsum(
-                "nca,ncb->nab", oh_a * w[..., None], oh_b,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            oh_a = (k[..., None] // _FINE_B == ar).astype(jnp.float32)
+            oh_b = (k[..., None] % _FINE_B == br).astype(jnp.float32)
+            prod = oh_a * w[..., None].astype(jnp.float32)
+            h2 = _splat_matmul(prod, oh_b)
             out = out + h2.reshape(n, G)
-        return out
+        return out.astype(signals.dtype)
 
     if L <= chunk:
         return splat_chunk(signals)
@@ -187,17 +227,77 @@ def get_pdf(
     )
 
 
+def _density_from_hist(H, x0, xe, xis, bandwidth, L):
+    """KDE density at sample points ``xis`` from a fine histogram ``H [N, G]``
+    splatted on the uniform grid spanning ``[x0, xe]``."""
+    G = H.shape[1]
+    grid = jnp.linspace(0.0, 1.0, G, dtype=H.dtype) * (xe - x0) + x0
+    u = (grid[:, None] - xis[None, :]) / bandwidth
+    kmat = _INV_2PI * jnp.exp(-0.5 * u * u)
+    return H @ kmat / (bandwidth * L)
+
+
+def _nmi_hists_binned(s1, s2, sj, xis1, xis2, xisj, bins, bandwidth):
+    """Binned-KDE marginal + pooled-joint densities with ONE shared fine grid.
+
+    The reference's "joint histogram" is the KDE of the *pooled concat*
+    (utils.py:62-63), so on a grid spanning the joint range the joint fine
+    histogram is exactly ``H1 + H2`` — the splat (the dominant cost) runs
+    twice instead of four times (each marginal + the 2L-voxel joint). Each
+    density then contracts the same histograms against its own sample points
+    (marginal bounds preserved — reference value parity).
+    """
+    x0, xe = xisj[0], xisj[-1]  # joint range spans both marginals
+    H1 = _binned_histogram(s1, x0, xe)
+    H2 = _binned_histogram(s2, x0, xe)
+    L = s1.shape[1]
+    hist1 = _density_from_hist(H1, x0, xe, xis1, bandwidth, L)
+    hist2 = _density_from_hist(H2, x0, xe, xis2, bandwidth, L)
+    histj = _density_from_hist(H1 + H2, x0, xe, xisj, bandwidth, 2 * L)
+    return hist1, hist2, histj
+
+
 def nmi(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
     bins: int = 256,
     bandwidth: float = 0.1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Reference ``NMI`` (utils.py:56-79). Returns ``(nmi [N], mi [N])``."""
-    hist1 = get_pdf(img1, steps=bins, bandwidth=bandwidth)
-    hist2 = get_pdf(img2, steps=bins, bandwidth=bandwidth)
-    hist_joint = get_pdf(
-        jnp.stack((img1, img2), axis=1), steps=bins, bandwidth=bandwidth
+    """Reference ``NMI`` (utils.py:56-79). Returns ``(nmi [N], mi [N])``.
+
+    Density construction auto-dispatches like :func:`get_pdf`: the fast
+    shared-grid binned path when the bandwidth resolves the fine grid of the
+    *joint* range, the exact per-voxel path otherwise — one runtime
+    ``lax.cond``.
+    """
+    s1 = img1.reshape(img1.shape[0], -1)
+    s2 = img2.reshape(img2.shape[0], -1)
+    sj = jnp.concatenate((s1, s2), axis=1)  # == stack((img1,img2),1) flat
+
+    def xis_of(s):
+        hi = jax.lax.stop_gradient(jnp.max(s))
+        lo = jax.lax.stop_gradient(jnp.min(s))
+        return jnp.linspace(0.0, 1.0, bins, dtype=s.dtype) * (lo - hi) + hi
+
+    xis1, xis2, xisj = xis_of(s1), xis_of(s2), xis_of(sj)
+    fine = jnp.abs(xisj[-1] - xisj[0]) / (_FINE_BINS - 1)
+
+    def binned(args):
+        return _nmi_hists_binned(*args, bins, bandwidth)
+
+    def exact(args):
+        s1_, s2_, sj_, x1, x2, xj = args
+        return (
+            kde_pdf(s1_, x1, bandwidth),
+            kde_pdf(s2_, x2, bandwidth),
+            kde_pdf(sj_, xj, bandwidth),
+        )
+
+    hist1, hist2, hist_joint = jax.lax.cond(
+        float(bandwidth) >= 4.0 * fine,
+        binned,
+        exact,
+        (s1, s2, sj, xis1, xis2, xisj),
     )
 
     p1 = hist1 / jnp.sum(hist1, axis=1, keepdims=True)
