@@ -169,27 +169,36 @@ def run_cascade(moving, target):
             rigid_lr=3e-3,
             affine_epochs=200,
             affine_lr=1e-3,
-            flow_epochs=100,
-            flow_lr=1e-3,
+            flow_epochs=300,
+            flow_lr=0.3,
             criterions=("mse", "ncc"),
             optimizer="adam",
             n=8,
             flow_dtype="bfloat16",
             level_decay=3.5,  # steeper coarse-heavy budgets: equal RMSE, -30% time
-            # r2 recipe upgrades (measured, tune4/tune5 on 3 pairs):
-            # - plain U-Net for the flow polish: InstanceNorm whitens the
-            #   intensity signal an intensity-matching objective needs, so the
-            #   un-normed net converges in ~1/4 the epochs (early stop) at
-            #   BETTER final RMSE (99.3-99.9% vs 97.5-98.9% reduction);
-            # - bf16 matrix-stage sweeps (theta math and reductions stay f32).
+            # r2 recipe upgrades (measured, tune4/tune5 on 3 pairs): bf16
+            # matrix-stage sweeps (theta math and reductions stay f32);
             # 2.80 s -> 0.78 s per 240^3 cascade at strictly better quality.
-            flow_attention=False,
-            flow_norm=False,
             matrix_dtype="bfloat16",
             # plateau early-stop for the matrix stages (engines/common.py):
             # identical RMSE, 0.78 s -> 0.57 s (the budgets overshoot)
             matrix_stop_rel=1e-3,
             matrix_patience=20,
+            # r3 recipe upgrade (measured on the deformable-truth control +
+            # the rigid-gate pair): DIRECT-FIELD flow stage (demons-style,
+            # engines/flow.py flow_model='field') with a diffusion
+            # regularizer. The r2 U-Net flow polish scored 99.86% on the
+            # rigid gate but only 54.6% RMSE reduction on a known smooth
+            # 7-voxel deformation (epochs/lr/dtype/texture all probed — the
+            # U-Net parameterization itself is the bottleneck); the field
+            # stage recovers 97.1% of the deformable control at ~1/3 the
+            # flow wall time (no network fwd/bwd), 99.2% on the rigid gate.
+            flow_model="field",
+            flow_smooth=0.5,
+            # flow plateau stop: the easy (rigid-residual) pair converges in
+            # far fewer than 300 field steps
+            flow_stop_rel=1e-3,
+            flow_patience=25,
         )
     res = _CASCADE(moving, target)
     # Force real completion: on remote-device transports block_until_ready can

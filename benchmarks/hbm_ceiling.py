@@ -56,15 +56,15 @@ def try_size(mode: str, S: int, epochs: int = 20) -> str:
         moving, target = _pair((S, S, S))
         t0 = time.perf_counter()
         if mode == "rigid":
-            res = rigid_register(
+            _, res = rigid_register(
                 moving, target, epochs=epochs, lr=3e-3, optimizer="adam",
                 criterions=("mse",), init="identity",
             )
             ck = float(jnp.mean(res.best_theta))
         else:
-            res = flow_register(
+            _, res = flow_register(
                 moving, target, max_epochs=epochs, lr=1e-3, n=8,
-                criterions=("mse",), compute_dtype="bfloat16",
+                criterions=("mse",), dtype="bfloat16",
             )
             ck = float(jnp.mean(res.flow.astype(jnp.float32)))
         dt = time.perf_counter() - t0

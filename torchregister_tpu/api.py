@@ -93,11 +93,15 @@ class Register:
         method: str = "separable",
         max_shift=None,
         max_disp: int = 8,
+        flow_model: str = "unet",
+        smooth: float = 0.0,
     ):
         if mode not in ("rigid", "affine", "flow"):
             raise ValueError(f"mode must be rigid|affine|flow, got {mode!r}")
         if method not in ("separable", "exact"):
             raise ValueError(f"method must be separable|exact, got {method!r}")
+        if flow_model not in ("unet", "field"):
+            raise ValueError(f"flow_model must be unet|field, got {flow_model!r}")
         self.mode = mode
         self.device = _resolve_device(device)
         self.criterion = criterion
@@ -110,6 +114,8 @@ class Register:
         self.method = method
         self.max_shift = max_shift  # rigid/affine sweep bound (None = auto)
         self.max_disp = max_disp  # flow sweep bound in voxels
+        self.flow_model = flow_model  # 'unet' (reference parity) | 'field'
+        self.smooth = smooth  # field-mode diffusion regularizer weight
         self.theta = None  # [1,d,d+1] matrix (rigid/affine) or [1,d,*S] flow
         self.losses = None
         self.result = None
@@ -150,6 +156,7 @@ class Register:
                     stop_crit=stop_crit, optimizer=self.optimizer,
                     key=jax.random.key(self.seed),
                     method=self.method, max_disp=self.max_disp,
+                    flow_model=self.flow_model, smooth=self.smooth,
                     progress_every=flow_progress,
                 )
                 self.theta = res.flow

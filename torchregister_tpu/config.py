@@ -112,6 +112,10 @@ class FlowConfig:
     use_attention: bool = True
     use_norm: bool = True
     progress_every: Optional[int] = None
+    flow_model: str = "unet"  # 'field' = direct dense-field optimization
+    smooth: float = 0.0  # field-mode diffusion regularizer weight
+    stop_rel: Optional[float] = None  # plateau early-stop (matrix parity)
+    patience: int = 25
 
     def run(self, moving, target, **overrides):
         from .engines.flow import flow_register
@@ -150,6 +154,10 @@ class CascadeConfig:
     flow_norm: bool = True
     matrix_stop_rel: Optional[float] = None
     matrix_patience: int = 25
+    flow_model: str = "unet"  # 'field' = direct dense-field flow stage
+    flow_smooth: float = 0.0  # field-mode diffusion regularizer weight
+    flow_stop_rel: Optional[float] = None  # flow plateau early-stop
+    flow_patience: int = 25
 
     def run(self, moving, target, **overrides):
         from .engines.cascade import register_cascade

@@ -145,6 +145,10 @@ def register_cascade(
     flow_norm: bool = True,
     matrix_stop_rel: float | None = None,
     matrix_patience: int = 25,
+    flow_model: str = "unet",
+    flow_smooth: float = 0.0,
+    flow_stop_rel: float | None = None,
+    flow_patience: int = 25,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -242,7 +246,7 @@ def register_cascade(
         flow_levels = min(2, levels)
         f_pyr_in = build_pyramid(flow_in, flow_levels)
         f_pyr_tgt = build_pyramid(flow_tgt, flow_levels)
-        if flow_depth is None:
+        if flow_depth is None and flow_model == "unet":
             # One depth across levels: warm-starting requires an identical
             # parameter structure, so clamp to the coarsest level's maximum.
             from ..models.attention_unet import max_depth_for
@@ -252,6 +256,10 @@ def register_cascade(
         params = None
         losses = []
         for (f_in, f_tgt), eps in zip(zip(f_pyr_in, f_pyr_tgt), budgets):
+            if flow_model == "field" and params is not None:
+                # Field-mode warm start: the params ARE the flow — upsample
+                # (with voxel-unit rescale) to the next level's grid.
+                params = upsample_flow(params, f_in.shape[2:])
             _, fres = flow_register(
                 f_in, f_tgt, lr=flow_lr, max_epochs=eps,
                 criterions=list(criterions), weights=weights, n=n,
@@ -260,6 +268,8 @@ def register_cascade(
                 init_params=params, remat=flow_remat,
                 max_disp=flow_max_disp,
                 use_attention=flow_attention, use_norm=flow_norm,
+                flow_model=flow_model, smooth=flow_smooth,
+                stop_rel=flow_stop_rel, patience=flow_patience,
                 check_disp=False,  # per-level readbacks would serialize the
                 # eager cascade; ONE end-of-run check below covers the final
                 # field against the final warp's window

@@ -49,6 +49,22 @@ class FlowResult(NamedTuple):
     max_disp: jnp.ndarray | None = None  # max |flow| over the field (scalar)
 
 
+def _diffusion_energy(flow: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared forward-difference of a flow ``[N, d, *S]`` — the standard
+    VoxelMorph-style diffusion regularizer (sum over axes of ``|∂u/∂x_a|²``).
+    Keeps a directly-optimized field smooth where the similarity term carries
+    no signal (flat image regions)."""
+    f = flow.astype(jnp.float32)
+    total = 0.0
+    for a in range(2, flow.ndim):
+        n = flow.shape[a]
+        d = jax.lax.slice_in_dim(f, 1, n, axis=a) - jax.lax.slice_in_dim(
+            f, 0, n - 1, axis=a
+        )
+        total = total + jnp.mean(d * d)
+    return total
+
+
 @lru_cache(maxsize=32)
 def _build_flow_fn(
     criteria: tuple,
@@ -67,10 +83,16 @@ def _build_flow_fn(
     remat: bool = False,
     use_attention: bool = True,
     use_norm: bool = True,
+    flow_model: str = "unet",
+    smooth: float = 0.0,
+    stop_rel: float | None = None,
+    patience: int = 25,
 ):
-    model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth,
-                          dtype=jnp.dtype(dtype),
-                          use_attention=use_attention, use_norm=use_norm)
+    model = None
+    if flow_model == "unet":
+        model = AttentionUNet(ndim=ndim, in_c=in_c, n=n, depth=depth,
+                              dtype=jnp.dtype(dtype),
+                              use_attention=use_attention, use_norm=use_norm)
     loss = weighted_loss(criteria, weights)
     tx = make_optimizer(optimizer, lr)
 
@@ -79,33 +101,57 @@ def _build_flow_fn(
             return warp_flow_separable(moving, flow, max_disp=max_disp)
         return warp_flow(moving, flow)
 
-    def predict_flow(params, moving):
-        apply = lambda p, m: model.apply({"params": p}, m)  # [N, d, *S]
-        if remat:
-            # Trade ~30% step time for activation memory (needed e.g. for a
-            # batch of 8 240^3 pairs on one 16 GB chip).
-            apply = jax.checkpoint(apply)
-        return apply(params, moving)
+    if flow_model == "field":
+        # Direct dense-field parameterization (demons/ANTs-style test-time
+        # optimization): the parameters ARE the displacement field. No
+        # reference counterpart (the reference only offers the U-Net,
+        # warpings.py:178-242); on TPU a field step is warp+losses only —
+        # no network forward/backward — so it both runs ~an order of
+        # magnitude faster per epoch and fits a *specific* deformation far
+        # more directly than U-Net weights do.
+        def predict_flow(params, moving):
+            return params.astype(jnp.float32)
+    else:
+        def predict_flow(params, moving):
+            apply = lambda p, m: model.apply({"params": p}, m)  # [N, d, *S]
+            if remat:
+                # Trade ~30% step time for activation memory (needed e.g. for
+                # a batch of 8 240^3 pairs on one 16 GB chip).
+                apply = jax.checkpoint(apply)
+            return apply(params, moving)
 
     def _loop(moving, target, carry, end):
         def loss_fn(params):
             flow = predict_flow(params, moving)
             warped = warp(moving, flow)
-            return loss(target, warped)
+            sim = loss(target, warped)
+            if smooth > 0.0:
+                return sim + smooth * _diffusion_energy(flow)
+            return sim
 
         grad_fn = jax.value_and_grad(loss_fn)
 
         def cond(carry):
-            _, _, i, _, last = carry
-            return (i < end) & (last > stop_crit)
+            _, _, i, _, last, ref, since = carry
+            go = (i < end) & (last > stop_crit)
+            if stop_rel is not None:
+                # Plateau stop (same semantics as the matrix engines,
+                # engines/common.py): no stop_rel-relative improvement over
+                # the reference loss for `patience` consecutive steps.
+                go = go & (since < patience)
+            return go
 
         def _body(carry):
-            params, opt_state, i, losses, _ = carry
+            params, opt_state, i, losses, _, ref, since = carry
             loss_val, grads = grad_fn(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             losses = jax.lax.dynamic_update_slice(losses, loss_val[None], (i,))
-            return params, opt_state, i + 1, losses, loss_val
+            if stop_rel is not None:
+                improved = loss_val < ref * (1.0 - stop_rel)
+                ref = jnp.where(improved, loss_val, ref)
+                since = jnp.where(improved, 0, since + 1)
+            return params, opt_state, i + 1, losses, loss_val, ref, since
 
         return jax.lax.while_loop(cond, _body, carry)
 
@@ -116,10 +162,12 @@ def _build_flow_fn(
             jnp.int32(0),
             jnp.full((max_epochs,), jnp.nan, jnp.float32),
             jnp.float32(jnp.inf),
+            jnp.float32(jnp.inf),  # plateau reference loss
+            jnp.int32(0),  # steps since stop_rel-relative improvement
         )
 
     def finalize(moving, carry):
-        params, _, steps, losses, last = carry
+        params, _, steps, losses, last, _ref, _since = carry
         flow = predict_flow(params, moving)
         warped = warp(moving, flow)  # method-consistent final warp
         converged = last <= stop_crit
@@ -139,7 +187,13 @@ def _build_flow_fn(
 
     # Jitted param init: eager flax init dispatches hundreds of ops (very
     # costly over remote-device transports).
-    init_fn = jax.jit(lambda key, x: model.init(key, x)["params"])
+    if flow_model == "field":
+        init_fn = jax.jit(
+            lambda key, x: jnp.zeros((x.shape[0], ndim) + x.shape[2:],
+                                     jnp.float32)
+        )
+    else:
+        init_fn = jax.jit(lambda key, x: model.init(key, x)["params"])
     return jax.jit(run), model, init_fn, make_carry, run_chunk, run_finalize
 
 
@@ -166,6 +220,10 @@ def flow_register(
     use_attention: bool = True,
     use_norm: bool = True,
     progress_every: int | None = None,
+    flow_model: str = "unet",
+    smooth: float = 0.0,
+    stop_rel: float | None = None,
+    patience: int = 25,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -173,6 +231,16 @@ def flow_register(
     images with ``warp_flow(x, result.flow)``. ``init_params`` warm-starts the
     U-Net — the weights are resolution-independent, so coarse-to-fine flow
     pyramids just continue optimizing the same parameters at finer levels.
+
+    ``flow_model='field'`` optimizes the displacement field DIRECTLY
+    (demons/ANTs-style; ``result.params`` is the field itself) instead of
+    through U-Net weights — far faster per epoch (no network) and much better
+    at recovering a specific deformation; pair it with ``smooth`` (diffusion
+    regularizer weight, e.g. 0.1-1) since the field has no architectural
+    smoothness prior. For field-mode warm starts across resolutions, upsample
+    the field with ``utils.pyramid.upsample_flow`` before passing
+    ``init_params``. ``n``/``depth``/``use_attention``/``use_norm`` are
+    ignored in field mode.
 
     ``max_disp`` statically bounds the default separable warp's sweep window
     (the reference's exact ``F.grid_sample`` has no such bound —
@@ -185,6 +253,12 @@ def flow_register(
     222-229): the loop runs as ONE compiled chunk program re-invoked with a
     moving end index (no retraces), paying one host sync per segment instead
     of one per epoch. Default None keeps the loop entirely on device.
+
+    ``stop_rel``/``patience`` add plateau early-stopping (same semantics as
+    the matrix engines): stop after ``patience`` consecutive steps without a
+    ``stop_rel``-relative improvement. The reference's absolute
+    ``stop_crit=1e-4`` (warpings.py:231-233) rarely fires in practice;
+    plateau stopping is the useful device-side analog. Off by default.
     """
     if grad_edges:
         moving = edge_filter(moving)
@@ -192,7 +266,9 @@ def flow_register(
     criteria, w = resolve_criteria(criterions, weights)
     ndim = moving.ndim - 2
     spatial = moving.shape[2:]
-    if depth is None:
+    if flow_model == "field":
+        depth = 0  # no network; keep the build cache key stable
+    elif depth is None:
         depth = max_depth_for(spatial)
         if depth == 0:
             raise ValueError(f"volume {spatial} too small for the U-Net")
@@ -200,6 +276,8 @@ def flow_register(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
         optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
         str(dtype), bool(remat), bool(use_attention), bool(use_norm),
+        str(flow_model), float(smooth),
+        None if stop_rel is None else float(stop_rel), int(patience),
     )
     if key is None:
         key = jax.random.key(0)
