@@ -174,16 +174,24 @@ def run_cascade(moving, target):
             criterions=("mse", "ncc"),
             optimizer="adam",
             n=8,
-            flow_dtype="bfloat16",
+            # f32 field-stage images: bf16 (measured r3) makes the plateau
+            # loss noisy enough that the stop fires ~13 steps later AND
+            # quality drops (99.08 vs 99.25 rigid-gate RMSE reduction) — the
+            # cheaper steps don't pay for themselves in field mode.
+            flow_dtype="float32",
             level_decay=3.5,  # steeper coarse-heavy budgets: equal RMSE, -30% time
             # r2 recipe upgrades (measured, tune4/tune5 on 3 pairs): bf16
             # matrix-stage sweeps (theta math and reductions stay f32);
             # 2.80 s -> 0.78 s per 240^3 cascade at strictly better quality.
             matrix_dtype="bfloat16",
             # plateau early-stop for the matrix stages (engines/common.py):
-            # identical RMSE, 0.78 s -> 0.57 s (the budgets overshoot)
+            # identical RMSE, 0.78 s -> 0.57 s (the budgets overshoot).
+            # patience 10 (r3, A/B on both quality gates): rigid 226 -> 196
+            # and affine 54 -> 33 executed steps at IDENTICAL rigid-gate and
+            # deformable-truth scores — 0.61 s -> 0.53 s. patience tails were
+            # pure plateau-polish; tighter than 10 starts costing quality.
             matrix_stop_rel=1e-3,
-            matrix_patience=20,
+            matrix_patience=10,
             # r3 recipe upgrade (measured on the deformable-truth control +
             # the rigid-gate pair): DIRECT-FIELD flow stage (demons-style,
             # engines/flow.py flow_model='field') with a diffusion

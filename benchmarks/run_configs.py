@@ -125,10 +125,10 @@ def main():
     cascade = make_cascade_batch_fn(
         levels=3, rigid_epochs=500 // div, affine_epochs=200 // div,
         flow_epochs=300 // div, criterions=("mse", "ncc"), optimizer="adam",
-        n=8, flow_dtype="bfloat16", level_decay=3.5,
+        n=8, flow_dtype="float32", level_decay=3.5,  # f32 field images: see bench.py
         # bench.py r3 recipe: bf16 matrix sweeps + direct-field flow stage
         # with diffusion smoothing and plateau stops (see bench.py)
-        matrix_dtype="bfloat16", matrix_stop_rel=1e-3, matrix_patience=20,
+        matrix_dtype="bfloat16", matrix_stop_rel=1e-3, matrix_patience=10,
         flow_model="field", flow_lr=0.3, flow_smooth=0.5,
         flow_stop_rel=1e-3, flow_patience=25,
         rigid_lr=3e-3, affine_lr=1e-3,

@@ -161,6 +161,25 @@ def test_flow_register_field_mode_recovers_flow():
     assert np.all(np.isfinite(np.asarray(res.flow)))
 
 
+def test_flow_register_field_mode_bf16_images():
+    """Field mode with dtype='bfloat16' runs the *image side* of each step
+    reduced (sweep FMAs + loss reductions) while the field, optimizer state
+    and the returned final warp stay f32 — recovery must survive the reduced
+    step precision (the cascade's bench recipe relies on this)."""
+    moving, target = _pair_2d()
+    warped, res = flow_register(
+        moving, target, lr=0.3, max_epochs=120, criterions=["mse"],
+        optimizer="adam", flow_model="field", smooth=0.3, max_disp=4,
+        stop_crit=1e-9, dtype="bfloat16",
+    )
+    assert res.flow.dtype == jnp.float32
+    assert warped.dtype == jnp.float32
+    r0 = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
+    r1 = float(jnp.sqrt(jnp.mean((warped - target) ** 2)))
+    assert r1 < 0.4 * r0, (r0, r1)
+    assert np.all(np.isfinite(np.asarray(res.flow)))
+
+
 def test_flow_register_field_warm_start_upsample():
     """Field-mode coarse-to-fine: a field optimized at half resolution,
     upsampled with upsample_flow, warm-starts the full-resolution fit."""

@@ -111,6 +111,16 @@ def _build_flow_fn(
         # more directly than U-Net weights do.
         def predict_flow(params, moving):
             return params.astype(jnp.float32)
+
+        # Field mode has no network to carry ``dtype`` — apply it to the
+        # *image* side of each optimization step instead (sweep FMAs + loss
+        # reductions run reduced; the field/optimizer state, coordinate math
+        # and the finalize warp stay f32, and losses upcast at the
+        # subtraction). Same contract as the cascade's ``matrix_dtype``.
+        img_dt = jnp.dtype(dtype)
+
+        def prep(x):
+            return x.astype(img_dt)
     else:
         def predict_flow(params, moving):
             apply = lambda p, m: model.apply({"params": p}, m)  # [N, d, *S]
@@ -120,7 +130,12 @@ def _build_flow_fn(
                 apply = jax.checkpoint(apply)
             return apply(params, moving)
 
+        def prep(x):  # the model's own dtype handles reduced compute
+            return x
+
     def _loop(moving, target, carry, end):
+        moving, target = prep(moving), prep(target)
+
         def loss_fn(params):
             flow = predict_flow(params, moving)
             warped = warp(moving, flow)
@@ -240,7 +255,10 @@ def flow_register(
     smoothness prior. For field-mode warm starts across resolutions, upsample
     the field with ``utils.pyramid.upsample_flow`` before passing
     ``init_params``. ``n``/``depth``/``use_attention``/``use_norm`` are
-    ignored in field mode.
+    ignored in field mode; ``dtype`` there sets the *image-side* compute
+    precision of each optimization step (sweep FMAs + loss reductions — the
+    field, optimizer state, coordinate math and the returned final warp stay
+    f32), mirroring the cascade's ``matrix_dtype`` contract.
 
     ``max_disp`` statically bounds the default separable warp's sweep window
     (the reference's exact ``F.grid_sample`` has no such bound —
