@@ -192,6 +192,14 @@ def run_cascade(moving, target):
             # pure plateau-polish; tighter than 10 starts costing quality.
             matrix_stop_rel=1e-3,
             matrix_patience=10,
+            # r3: matrix stages skip the 240^3 fine level entirely — thetas
+            # live in normalized coords and a 6/12-param global transform
+            # gains nothing from full-res gradients, while fine-level steps
+            # cost 8x mid-level ones. A/B (tune_matrix_levels.py, both
+            # quality gates): 0.524 s -> 0.286 s at IDENTICAL rigid-gate
+            # (99.25%) and deformable-truth (96.9%, 2.26->2.29 vox) scores.
+            # matrix_levels=1 saves 0.02 s more but starts costing both gates.
+            matrix_levels=2,
             # r3 recipe upgrade (measured on the deformable-truth control +
             # the rigid-gate pair): DIRECT-FIELD flow stage (demons-style,
             # engines/flow.py flow_model='field') with a diffusion

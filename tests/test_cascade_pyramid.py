@@ -120,3 +120,20 @@ def test_cascade_full_pipeline_runs_2d():
     assert res.flow.shape == (1, 2, 48, 48)
     for l in (res.rigid_losses, res.affine_losses):
         assert np.isfinite(np.asarray(l)).all()
+
+
+def test_cascade_matrix_levels_coarse_only_recovers_rigid():
+    """matrix_levels=1: rigid/affine run only on the coarsest level; the
+    normalized-coordinate theta still applies exactly at full resolution."""
+    moving = _blob((64, 64))
+    true = rigid_theta(jnp.asarray([0.1, 0.06, -0.04], jnp.float32))[None]
+    target = warp_affine(true, moving)
+    res = register_cascade(
+        moving, target, stages=("rigid", "affine"), levels=2, matrix_levels=1,
+        rigid_epochs=240, rigid_lr=5e-3, affine_epochs=80, affine_lr=2e-3,
+        criterions=("mse",), optimizer="adam",
+    )
+    np.testing.assert_allclose(np.asarray(res.theta), np.asarray(true), atol=0.06)
+    rmse = float(jnp.sqrt(jnp.mean((res.warped - target) ** 2)))
+    base = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
+    assert rmse < 0.4 * base

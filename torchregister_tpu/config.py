@@ -154,6 +154,7 @@ class CascadeConfig:
     flow_norm: bool = True
     matrix_stop_rel: Optional[float] = None
     matrix_patience: int = 25
+    matrix_levels: Optional[int] = None  # rigid/affine on the coarsest N levels
     flow_model: str = "unet"  # 'field' = direct dense-field flow stage
     flow_smooth: float = 0.0  # field-mode diffusion regularizer weight
     flow_stop_rel: Optional[float] = None  # flow plateau early-stop

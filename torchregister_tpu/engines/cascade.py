@@ -145,6 +145,7 @@ def register_cascade(
     flow_norm: bool = True,
     matrix_stop_rel: float | None = None,
     matrix_patience: int = 25,
+    matrix_levels: int | None = None,
     flow_model: str = "unet",
     flow_smooth: float = 0.0,
     flow_stop_rel: float | None = None,
@@ -159,6 +160,13 @@ def register_cascade(
     additionally gets a window covering a quarter of its extent.
     ``final_warp='exact'`` produces a grid_sample-identical output resample at
     the cost of one slow XLA gather pass.
+
+    ``matrix_levels`` (default: all ``levels``) restricts the rigid/affine
+    stages to the coarsest N pyramid levels. Thetas live in normalized
+    coordinates, so a matrix fitted at half resolution applies unchanged at
+    full resolution — and a 6/12-parameter global transform rarely gains from
+    full-resolution gradients, while a fine-level step costs 8x a mid-level
+    one. The flow stage (and the final full-resolution warp) are unaffected.
     """
     moving = jnp.asarray(moving, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -177,6 +185,7 @@ def register_cascade(
     theta = identity_theta(ndim)[None]
     rigid_losses = affine_losses = flow_losses = None
     scale = 1
+    m_levels = levels if matrix_levels is None else min(matrix_levels, levels)
 
     def level_shift(i, mov_l):
         if i == 0:  # coarsest level sees the full initial misalignment
@@ -193,9 +202,11 @@ def register_cascade(
         return [max(1, int(round(total * w / s))) for w in weights]
 
     if "rigid" in stages:
-        budgets = level_budgets(rigid_epochs)
+        budgets = level_budgets(rigid_epochs, m_levels)
         losses = []
-        for i, (mov_l, tgt_l) in enumerate(zip(mov_pyr, tgt_pyr)):
+        for i, (mov_l, tgt_l) in enumerate(
+            zip(mov_pyr[:m_levels], tgt_pyr[:m_levels])
+        ):
             base = _level_warp(theta, mov_l, exact=False) if i else mov_l
             _, res = rigid_register(
                 base, tgt_l, lr=rigid_lr, epochs=budgets[i],
@@ -212,9 +223,11 @@ def register_cascade(
         rigid_losses = jnp.concatenate(losses)
 
     if "affine" in stages:
-        budgets = level_budgets(affine_epochs)
+        budgets = level_budgets(affine_epochs, m_levels)
         losses = []
-        for i, (mov_l, tgt_l) in enumerate(zip(mov_pyr, tgt_pyr)):
+        for i, (mov_l, tgt_l) in enumerate(
+            zip(mov_pyr[:m_levels], tgt_pyr[:m_levels])
+        ):
             base = _level_warp(theta, mov_l, exact=False)
             _, res = affine_register(
                 base, tgt_l, lr=affine_lr, epochs=budgets[i],
