@@ -30,6 +30,7 @@ def main():
         criterions=("mse", "ncc"), optimizer="adam", n=8,
         flow_dtype="float32", level_decay=3.5,
         matrix_dtype="bfloat16", matrix_stop_rel=1e-3, matrix_patience=10,
+        matrix_levels=2,
         flow_model="field", flow_smooth=0.5,
         flow_stop_rel=1e-3, flow_patience=25,
     )

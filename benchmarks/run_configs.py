@@ -129,6 +129,7 @@ def main():
         # bench.py r3 recipe: bf16 matrix sweeps + direct-field flow stage
         # with diffusion smoothing and plateau stops (see bench.py)
         matrix_dtype="bfloat16", matrix_stop_rel=1e-3, matrix_patience=10,
+        matrix_levels=2,
         flow_model="field", flow_lr=0.3, flow_smooth=0.5,
         flow_stop_rel=1e-3, flow_patience=25,
         rigid_lr=3e-3, affine_lr=1e-3,
