@@ -44,3 +44,14 @@ import pytest  # noqa: E402
 def _clear_jax_caches_between_modules():
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    # Two suite tiers on this 1-CPU host (full suite is 60-100 min):
+    #   smoke tier:  python -m pytest tests/ -q -m "not slow"
+    #   full tier:   python -m pytest tests/ -q
+    config.addinivalue_line(
+        "markers",
+        "slow: long integration tests (engine/cascade recovery, reference "
+        "parity, respawn) — deselect with -m 'not slow' for the smoke tier",
+    )

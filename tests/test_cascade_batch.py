@@ -4,6 +4,9 @@ import jax.numpy as jnp
 
 from torchregister_tpu.engines.cascade import make_cascade_batch_fn, register_cascade
 from torchregister_tpu.parallel.mesh import make_mesh
+import pytest
+
+pytestmark = pytest.mark.slow  # batched/sharded full cascades (smoke tier: -m 'not slow')
 
 
 def _blobs(batch, shape, seed=0):

@@ -8,6 +8,9 @@ from torchregister_tpu.engines.affine import affine_register
 from torchregister_tpu.engines.rigid import init_rigid_params, rigid_register
 from torchregister_tpu.ops.resample import warp_affine
 from torchregister_tpu.ops.transforms import rigid_theta
+import pytest
+
+pytestmark = pytest.mark.slow  # full engine recovery optimizations (smoke tier: -m 'not slow')
 
 
 def _blob_volume(shape, seed=0):

@@ -5,10 +5,13 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, "/root/repo")
 
 import __graft_entry__ as ge
+
+pytestmark = pytest.mark.slow  # subprocess respawn + dryrun compile (smoke tier: -m 'not slow')
 
 
 def test_entry_compiles_and_runs():

@@ -15,9 +15,13 @@ import numpy as np
 import pytest
 
 REF = "/root/reference/src/TorchRegister"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference package not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference package not mounted"
+    ),
+    # executes the PyTorch reference (smoke tier: -m 'not slow')
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")
