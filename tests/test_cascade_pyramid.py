@@ -1,11 +1,14 @@
 """Cascade + pyramid tests."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from torchregister_tpu.engines.cascade import register_cascade
 from torchregister_tpu.ops.resample import warp_affine, warp_flow
 from torchregister_tpu.ops.transforms import rigid_theta
 from torchregister_tpu.utils.pyramid import build_pyramid, compose_flows, upsample_flow
+
+pytestmark = pytest.mark.slow  # full multi-level cascade optimizations (smoke tier: -m 'not slow')
 
 
 def _blob(shape, seed=0):
@@ -137,3 +140,15 @@ def test_cascade_matrix_levels_coarse_only_recovers_rigid():
     rmse = float(jnp.sqrt(jnp.mean((res.warped - target) ** 2)))
     base = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
     assert rmse < 0.4 * base
+
+
+def test_cascade_matrix_levels_rejects_nonpositive():
+    import pytest
+
+    moving = _blob((24, 24))
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="matrix_levels"):
+            register_cascade(
+                moving, moving, stages=("rigid",), levels=2, rigid_epochs=2,
+                criterions=("mse",), matrix_levels=bad,
+            )

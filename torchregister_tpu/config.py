@@ -116,6 +116,7 @@ class FlowConfig:
     smooth: float = 0.0  # field-mode diffusion regularizer weight
     stop_rel: Optional[float] = None  # plateau early-stop (matrix parity)
     patience: int = 25
+    zero_head: bool = False  # zero-init flow head (composition levels)
 
     def run(self, moving, target, **overrides):
         from .engines.flow import flow_register
@@ -155,10 +156,15 @@ class CascadeConfig:
     matrix_stop_rel: Optional[float] = None
     matrix_patience: int = 25
     matrix_levels: Optional[int] = None  # rigid/affine on the coarsest N levels
-    flow_model: str = "unet"  # 'field' = direct dense-field flow stage
-    flow_smooth: float = 0.0  # field-mode diffusion regularizer weight
+    flow_model: str = "field"  # default: direct dense-field flow stage (97%
+    # deformable-truth recovery vs the U-Net parity path's 54-76%, BASELINE.md);
+    # 'unet' = reference-parity mode (warpings.py:178-242)
+    flow_smooth: Optional[float] = None  # None -> 0.5 for 'field', 0.0 for 'unet'
     flow_stop_rel: Optional[float] = None  # flow plateau early-stop
     flow_patience: int = 25
+    flow_compose: bool = True  # unet mode: per-level residual-flow composition
+    flow_levels: Optional[int] = None  # flow mini-pyramid depth (None -> min(2, levels))
+    flow_criterions: Any = None  # flow-stage criterion override (None -> criterions)
 
     def run(self, moving, target, **overrides):
         from .engines.cascade import register_cascade

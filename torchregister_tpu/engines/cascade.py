@@ -33,7 +33,7 @@ from ..ops.resize import downsample_avg
 from ..ops.separable import _warp_affine_separable as warp_affine_separable
 from ..ops.separable import warp_flow_separable
 from ..ops.transforms import compose_theta, identity_theta
-from ..utils.pyramid import build_pyramid, upsample_flow
+from ..utils.pyramid import build_pyramid, compose_flows, upsample_flow
 from .affine import affine_register
 from .flow import flow_register
 from .rigid import rigid_register
@@ -146,10 +146,13 @@ def register_cascade(
     matrix_stop_rel: float | None = None,
     matrix_patience: int = 25,
     matrix_levels: int | None = None,
-    flow_model: str = "unet",
-    flow_smooth: float = 0.0,
+    flow_model: str = "field",
+    flow_smooth=None,
     flow_stop_rel: float | None = None,
     flow_patience: int = 25,
+    flow_compose: bool = True,
+    flow_levels: int | None = None,
+    flow_criterions=None,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -167,10 +170,29 @@ def register_cascade(
     full resolution — and a 6/12-parameter global transform rarely gains from
     full-resolution gradients, while a fine-level step costs 8x a mid-level
     one. The flow stage (and the final full-resolution warp) are unaffected.
+
+    ``flow_model`` defaults to ``'field'`` (direct dense-field optimization):
+    measured on the deformable-truth control it recovers ~97% of a known
+    smooth deformation where the reference-parity U-Net path caps at 54-76%
+    (BASELINE.md). ``flow_smooth=None`` resolves per model: 0.5 (the bench
+    recipe's diffusion weight) for ``'field'``, 0.0 for ``'unet'`` so the
+    parity path's loss stays exactly the reference's. A tuple sets the
+    diffusion weight PER flow pyramid level (coarse -> fine; fine levels
+    usually want less smoothing — the coarse level already pinned the bulk
+    displacement).
+
+    ``flow_levels`` (default ``min(2, levels)``) sets the flow stage's own
+    mini-pyramid depth; ``flow_criterions`` (default: ``criterions``)
+    overrides the similarity stack for the flow stage only (e.g. ``('lncc',)``
+    where locally-normalized gradients help the fine field).
     """
     moving = jnp.asarray(moving, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     ndim = moving.ndim - 2
+    if flow_smooth is None:
+        flow_smooth = 0.5 if flow_model == "field" else 0.0
+    if flow_criterions is None:
+        flow_criterions = criterions
 
     mov_pyr = build_pyramid(moving, levels)
     tgt_pyr = build_pyramid(target, levels)
@@ -185,6 +207,11 @@ def register_cascade(
     theta = identity_theta(ndim)[None]
     rigid_losses = affine_losses = flow_losses = None
     scale = 1
+    if matrix_levels is not None and matrix_levels < 1:
+        raise ValueError(
+            f"matrix_levels must be >= 1 (got {matrix_levels}): the matrix "
+            "stages need at least the coarsest pyramid level"
+        )
     m_levels = levels if matrix_levels is None else min(matrix_levels, levels)
 
     def level_shift(i, mov_l):
@@ -256,9 +283,20 @@ def register_cascade(
             flow_in = downsample_avg(flow_in, 2)
             flow_tgt = downsample_avg(flow_tgt, 2)
             scale *= 2
-        flow_levels = min(2, levels)
+        if flow_levels is None:
+            flow_levels = min(2, levels)
         f_pyr_in = build_pyramid(flow_in, flow_levels)
         f_pyr_tgt = build_pyramid(flow_tgt, flow_levels)
+        smooths = (
+            tuple(flow_smooth)
+            if isinstance(flow_smooth, (tuple, list))
+            else (float(flow_smooth),) * flow_levels
+        )
+        if len(smooths) != flow_levels:
+            raise ValueError(
+                f"flow_smooth tuple has {len(smooths)} entries for "
+                f"{flow_levels} flow levels"
+            )
         if flow_depth is None and flow_model == "unet":
             # One depth across levels: warm-starting requires an identical
             # parameter structure, so clamp to the coarsest level's maximum.
@@ -267,29 +305,56 @@ def register_cascade(
             flow_depth = max_depth_for(f_pyr_in[0].shape[2:])
         budgets = level_budgets(flow_epochs, flow_levels)
         params = None
+        total_flow = None  # U-Net composition carry (voxel units, level grid)
         losses = []
-        for (f_in, f_tgt), eps in zip(zip(f_pyr_in, f_pyr_tgt), budgets):
+        for li, ((f_in, f_tgt), eps) in enumerate(
+            zip(zip(f_pyr_in, f_pyr_tgt), budgets)
+        ):
+            base_in = f_in
             if flow_model == "field" and params is not None:
                 # Field-mode warm start: the params ARE the flow — upsample
-                # (with voxel-unit rescale) to the next level's grid.
+                # (with voxel-unit rescale) to the next level's grid and keep
+                # optimizing the same total field.
                 params = upsample_flow(params, f_in.shape[2:])
+            elif flow_model == "unet" and flow_compose and total_flow is not None:
+                # U-Net residual COMPOSITION (vs the r2 weight warm-start):
+                # warp the level input with the flow recovered so far and fit
+                # a fresh network to the *residual* deformation, then compose
+                # the fields. A U-Net re-predicting the FULL flow at the fine
+                # level recovers only 54-76% of a known smooth deformation
+                # (BASELINE.md deformable-truth control) — splitting the
+                # displacement across levels keeps each network's target
+                # small. One exact rebase warp per level (inside the jitted
+                # program; 2 levels -> 1 rebase).
+                total_flow = upsample_flow(total_flow, f_in.shape[2:])
+                base_in = warp_flow(f_in, total_flow)
+                params = None  # fresh net: the residual target changed
             _, fres = flow_register(
-                f_in, f_tgt, lr=flow_lr, max_epochs=eps,
-                criterions=list(criterions), weights=weights, n=n,
+                base_in, f_tgt, lr=flow_lr, max_epochs=eps,
+                criterions=list(flow_criterions), weights=weights, n=n,
                 depth=flow_depth, optimizer=optimizer,
                 key=jax.random.key(seed), dtype=flow_dtype,
                 init_params=params, remat=flow_remat,
                 max_disp=flow_max_disp,
                 use_attention=flow_attention, use_norm=flow_norm,
-                flow_model=flow_model, smooth=flow_smooth,
+                flow_model=flow_model, smooth=smooths[li],
                 stop_rel=flow_stop_rel, patience=flow_patience,
+                # composition levels start from the composed-so-far
+                # alignment: a lecun-init head would trash it at step 0
+                zero_head=(flow_model == "unet" and flow_compose),
                 check_disp=False,  # per-level readbacks would serialize the
                 # eager cascade; ONE end-of-run check below covers the final
                 # field against the final warp's window
             )
             params = fres.params
+            if flow_model == "unet" and flow_compose:
+                # applying total_flow then fres.flow == applying the composite
+                total_flow = (
+                    fres.flow if total_flow is None
+                    else compose_flows(total_flow, fres.flow)
+                )
             losses.append(fres.losses)
-        flow = fres.flow
+        flow = total_flow if total_flow is not None else fres.flow
         flow_losses = jnp.concatenate(losses)
         if scale > 1:
             flow = upsample_flow(flow, warped.shape[2:])

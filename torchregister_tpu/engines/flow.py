@@ -239,6 +239,7 @@ def flow_register(
     smooth: float = 0.0,
     stop_rel: float | None = None,
     patience: int = 25,
+    zero_head: bool = False,
 ) -> tuple[jnp.ndarray, FlowResult]:
     """Deformable registration of ``moving [1, in_c, *S]`` onto ``target``.
 
@@ -300,6 +301,16 @@ def flow_register(
     if key is None:
         key = jax.random.key(0)
     params0 = init_params if init_params is not None else init_fn(key, moving)
+    if zero_head and flow_model == "unet" and init_params is None:
+        # Zero-initialized flow head (VoxelMorph-style): the net predicts an
+        # exactly-zero field at step 0, so residual optimization starts FROM
+        # the incoming alignment instead of trashing it with lecun-init
+        # noise. Used by the cascade's per-level flow composition; the
+        # reference-parity default stays random (utils.py:553-555 is a
+        # standard torch-init conv head).
+        params0 = dict(params0)
+        for k in ("out_kernel", "out_bias"):
+            params0[k] = jnp.zeros_like(params0[k])
     if progress_every:
         carry = make_carry(params0)
         for end in range(progress_every, max_epochs + progress_every,

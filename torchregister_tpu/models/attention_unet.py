@@ -83,11 +83,13 @@ class TapConv(nn.Module):
     Parameter layout matches flax ``nn.Conv`` (kernel ``[*k, Ci, Co]``, zero
     bias) so checkpoints are interchangeable.
 
-    On TPU, 3D k=3 convs route to the fused Pallas kernel
-    (ops/pallas/conv3d.py) whenever the per-plane working set fits VMEM —
-    the tap decomposition round-trips HBM 27 times where the kernel keeps
-    the whole stencil on-chip. Same parameters, same values (f32
-    accumulation); ``use_pallas`` forces the choice for tests/ablation.
+    A fused Pallas kernel exists (ops/pallas/conv3d.py) but auto-routing is
+    OFF (``PALLAS_CONV_ENABLED=False``): it wins standalone *forward* (2.95
+    vs 4.96 ms at 120^3 8->8 f32) but loses ~3x in a training loop, where
+    XLA fuses the tap backward's wgrad einsums + dx + forward residuals into
+    one memory sweep and the custom_vjp kernel boundary forces separate
+    full-volume passes. Engines are grad loops, so taps stay the engine
+    path; pass ``use_pallas=True`` for forward-dominated use.
     """
 
     features: int
