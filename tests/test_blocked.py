@@ -69,15 +69,62 @@ def test_warp_affine_fast_auto_block_and_fallbacks():
     ours = warp_affine_fast(theta, moving)
     ref = warp_affine(theta, moving)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
-    # 2D input falls back to the exact path, still correct
+    # 2D input takes the blocked path too (r4): grid_sample-parity tolerance
     m2 = _rand((1, 1, 20, 20), 4)
     t2 = jnp.asarray([[[1.0, 0.1, 0.02], [-0.1, 1.0, -0.01]]])
     np.testing.assert_allclose(
         np.asarray(warp_affine_fast(t2, m2)),
         np.asarray(warp_affine(t2, m2)),
+        rtol=1e-4,
+        atol=3e-5,
+    )
+    # tiny 2D input (below TILE) still falls back to the exact path
+    m3 = _rand((1, 1, 8, 8), 5)
+    np.testing.assert_allclose(
+        np.asarray(warp_affine_fast(t2, m3)),
+        np.asarray(warp_affine(t2, m3)),
         rtol=1e-5,
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("shape", [(32, 32), (37, 45)])
+def test_warp_affine_blocked_2d_matches_exact(align, shape):
+    moving = _rand((1, 1) + shape, 11)
+    theta = jnp.asarray([[[0.95, 0.22, 0.05], [-0.22, 0.95, -0.08]]])
+    B = max(10, required_block_affine(theta, shape, align))
+    ours = warp_affine_blocked(theta, moving, align, block=B)
+    ref = warp_affine(theta, moving, align)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_affine_fast_2d_takes_blocked_path():
+    """2D fast warps run the blocked path (not the element-gather fallback):
+    value parity at grid_sample tolerance plus the multichannel fold."""
+    moving = _rand((1, 3, 40, 36), 12)
+    theta = jnp.asarray([[[1.0, 0.15, 0.1], [-0.15, 1.0, -0.05]]])
+    ours = warp_affine_fast(theta, moving)
+    ref = warp_affine(theta, moving)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("shape", [(32, 32), (29, 41)])
+def test_warp_flow_blocked_2d_matches_exact(shape):
+    src = _rand((1, 1) + shape, 13)
+    flow = jnp.clip(_rand((1, 2) + shape, 14) * 1.5, -4.0, 4.0)
+    B = required_block_flow(float(jnp.max(jnp.abs(flow))))
+    ours = warp_flow_blocked(src, flow, block=B)
+    ref = warp_flow(src, flow)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+def test_warp_flow_fast_2d_auto():
+    src = _rand((1, 2, 32, 32), 15)
+    flow = jnp.clip(_rand((1, 2, 32, 32), 16) * 1.5, -3.0, 3.0)
+    ours = warp_flow_fast(src, flow)
+    ref = warp_flow(src, flow)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
 
 
 def test_required_block_scales_with_rotation():

@@ -33,9 +33,10 @@ outside the volume simply has no support row in the block — identical to
 The block size ``B`` must statically bound the per-tile support extent.
 ``required_block_*`` derive it from a concrete theta / flow displacement
 bound; the eager wrappers do this automatically (one tiny host sync), while
-jit users pass ``block=`` explicitly. Where the blocked path doesn't apply
-(2D, tiny volumes, extreme transforms) the wrappers fall back to the exact
-element-gather path, never silently losing support.
+jit users pass ``block=`` explicitly. 2D images take the same path with
+``TILE^2`` tiles and bilinear (two-axis) hat contractions. Where the blocked
+path doesn't apply (tiny images, extreme transforms) the wrappers fall back
+to the exact element-gather path, never silently losing support.
 
 Measured on v5e at 240^3 f32: 76 ms (tile 10, B=14, 0.22-rad rotation) —
 vs 989 ms for the element-gather exact path (13x).
@@ -70,7 +71,8 @@ def required_block_affine(theta, spatial: Sequence[int], align_corners: bool = F
     if theta.ndim == 3:
         theta = theta[0]
     if theta.ndim == 1 or theta.shape[0] == 1:
-        theta = theta.reshape(3, 4)
+        d = len(spatial)
+        theta = theta.reshape(d, d + 1)
     M, _ = _index_map_np(theta, spatial, align_corners)
     ext = (TILE - 1) * np.abs(M).sum(axis=1).max() + 3.0
     return int(math.ceil(ext))
@@ -92,23 +94,28 @@ def flow_tile_extent(flow: jnp.ndarray) -> jnp.ndarray:
     per-tile mean. One scalar; the eager wrapper reads it back once.
     """
     spatial = flow.shape[2:]
+    d = len(spatial)
     grids = [-(-s // TILE) for s in spatial]
     ident = [
         jnp.arange(spatial[i], dtype=jnp.float32).reshape(
-            tuple(spatial[i] if j == i else 1 for j in range(3))
+            tuple(spatial[i] if j == i else 1 for j in range(d))
         )
-        for i in range(3)
+        for i in range(d)
     ]
     # f32 coordinate math: a bf16 flow quantizes identity+flow to ~1-2 voxels
     # near coordinate 240, which can under-estimate the extent past the +3
     # margin and under-size the block.
     q = flow[0].astype(jnp.float32) + jnp.stack(jnp.broadcast_arrays(*ident))
-    pads = [(0, grids[i] * TILE - spatial[i]) for i in range(3)]
+    pads = [(0, grids[i] * TILE - spatial[i]) for i in range(d)]
     # edge-replicate so padding voxels never widen a tile's extent
     qp = jnp.pad(q, [(0, 0)] + pads, mode="edge")
-    qt = qp.reshape(
-        3, grids[0], TILE, grids[1], TILE, grids[2], TILE
-    ).transpose(0, 1, 3, 5, 2, 4, 6).reshape(3, -1, TILE ** 3)
+    qt = qp.reshape((d,) + tuple(x for i in range(d) for x in (grids[i], TILE)))
+    perm = (
+        (0,)
+        + tuple(1 + 2 * i for i in range(d))
+        + tuple(2 + 2 * i for i in range(d))
+    )
+    qt = qt.transpose(perm).reshape(d, -1, TILE ** d)
     ext = jnp.max(qt, axis=-1) - jnp.min(qt, axis=-1)
     return jnp.max(ext)
 
@@ -139,57 +146,77 @@ def _hat_contract(blk, qc, org, B: int):
     return _hat_contract3(blk, qc, org[:, 0], org[:, 1], org[:, 2])
 
 
+def _hat_contract2(blk, qc, orgy, orgx):
+    """2D analog of :func:`_hat_contract3`: exact bilinear values of per-tile
+    blocks ``blk [n, C, By, Bx]`` at coords ``qc [n, V, 2]``. Returns
+    ``[n, C, V]``."""
+    hi = jax.lax.Precision.HIGHEST
+
+    def hat(axis, org, B):
+        pos = org.astype(jnp.float32)[:, None] + jnp.arange(B, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(qc[:, :, axis, None] - pos[:, None]))
+
+    wy = hat(0, orgy, blk.shape[2])
+    wx = hat(1, orgx, blk.shape[3])
+    t1 = jnp.einsum("tvb,tcbx->tcvx", wy, blk, precision=hi)
+    return jnp.einsum("tvx,tcvx->tcv", wx, t1, precision=hi)
+
+
 def _hat_block_resample(vol, q, spatial, B: int, chunk: int):
     """Exact multilinear resample of ``vol [C,*S]`` at coords ``q [T,V,d]``
     (index space, tile-major), via slice-gather + hat contractions.
 
-    Returns ``[T, C, V]``. 3D only.
+    Returns ``[T, C, V]``. 2D and 3D.
     """
     C = vol.shape[0]
+    d = len(spatial)
     sizes = jnp.asarray(spatial, jnp.int32)
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3, 4),
+        offset_dims=tuple(range(1, d + 2)),
         collapsed_slice_dims=(),
-        start_index_map=(1, 2, 3),
+        start_index_map=tuple(range(1, d + 1)),
     )
 
-    def do_chunk(qc):  # [chunk, V, 3]
+    def do_chunk(qc):  # [chunk, V, d]
         qf = jnp.floor(qc)
         org = jnp.clip(jnp.min(qf, axis=1).astype(jnp.int32), 0, sizes - B)
         blk = jax.lax.gather(
-            vol, org, dn, slice_sizes=(C, B, B, B),
+            vol, org, dn, slice_sizes=(C,) + (B,) * d,
             mode=jax.lax.GatherScatterMode.CLIP,
-        )  # [chunk, C, B, B, B]
-        return _hat_contract(blk, qc, org, B)
+        )  # [chunk, C, B*d]
+        if d == 3:
+            return _hat_contract(blk, qc, org, B)
+        return _hat_contract2(blk, qc, org[:, 0], org[:, 1])
 
     T = q.shape[0]
     n_chunks = -(-T // chunk)
     pad = n_chunks * chunk - T
     qp = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
-    out = jax.lax.map(do_chunk, qp.reshape(n_chunks, chunk, -1, 3))
+    out = jax.lax.map(do_chunk, qp.reshape(n_chunks, chunk, -1, d))
     return out.reshape(n_chunks * chunk, C, -1)[:T]
 
 
 def _tile_grid(spatial):
-    """Tile origins ``[T,3]`` and local offsets ``[V,3]`` covering ``spatial``
+    """Tile origins ``[T,d]`` and local offsets ``[V,d]`` covering ``spatial``
     (padded up to TILE multiples; callers slice the excess away)."""
+    d = len(spatial)
     grids = [-(-s // TILE) for s in spatial]
     axes = [jnp.arange(g) * TILE for g in grids]
     mesh = jnp.meshgrid(*axes, indexing="ij")
-    tile_org = jnp.stack([m.ravel() for m in mesh], -1)  # [T, 3]
+    tile_org = jnp.stack([m.ravel() for m in mesh], -1)  # [T, d]
     l = jnp.arange(TILE)
-    lm = jnp.meshgrid(l, l, l, indexing="ij")
-    loc = jnp.stack([m.ravel() for m in lm], -1)  # [V, 3]
+    lm = jnp.meshgrid(*[l] * d, indexing="ij")
+    loc = jnp.stack([m.ravel() for m in lm], -1)  # [V, d]
     return grids, tile_org, loc
 
 
 def _untile(out_tcv, grids, spatial, C):
-    GZ, GY, GX = grids
-    out = out_tcv.reshape(GZ, GY, GX, C, TILE, TILE, TILE)
-    out = out.transpose(3, 0, 4, 1, 5, 2, 6).reshape(
-        C, GZ * TILE, GY * TILE, GX * TILE
-    )
-    return out[:, : spatial[0], : spatial[1], : spatial[2]]
+    d = len(spatial)
+    out = out_tcv.reshape(tuple(grids) + (C,) + (TILE,) * d)
+    # (g0..gd-1, C, t0..td-1) -> (C, g0, t0, g1, t1, ...)
+    perm = (d,) + tuple(x for i in range(d) for x in (i, d + 1 + i))
+    out = out.transpose(perm).reshape((C,) + tuple(g * TILE for g in grids))
+    return out[(slice(None),) + tuple(slice(0, s) for s in spatial)]
 
 
 SUB = 4  # sub-tiles per super-tile edge (at the default stile)
@@ -483,7 +510,7 @@ def warp_affine_blocked(
     chunk: int = 432,
 ) -> jnp.ndarray:
     """Exact affine warp (grid_sample parity, reference warpings.py:18-26)
-    via the blocked resampler. 3D, batch 1.
+    via the blocked resampler. 2D/3D, batch 1.
 
     ``block`` must be >= :func:`required_block_affine` for this theta or
     support is silently truncated — use :func:`warp_affine_fast` (eager) to
@@ -491,17 +518,15 @@ def warp_affine_blocked(
     """
     theta = as_matrix(theta)
     spatial = moving.shape[2:]
-    assert moving.shape[0] == 1 and len(spatial) == 3
+    d = len(spatial)
+    assert moving.shape[0] == 1 and d in (2, 3)
     M, t = affine_to_index_map(theta[0], spatial, align_corners)
 
     grids, tile_org, loc = _tile_grid(spatial)
-    o = (tile_org[:, None, :] + loc[None]).astype(jnp.float32)  # [T, V, 3]
-    # Exact f32 coordinate math (3x3): explicit FMAs, no reduced-precision dot.
+    o = (tile_org[:, None, :] + loc[None]).astype(jnp.float32)  # [T, V, d]
+    # Exact f32 coordinate math (dxd): explicit FMAs, no reduced-precision dot.
     q = jnp.stack(
-        [
-            M[s, 0] * o[..., 0] + M[s, 1] * o[..., 1] + M[s, 2] * o[..., 2] + t[s]
-            for s in range(3)
-        ],
+        [sum(M[s, j] * o[..., j] for j in range(d)) + t[s] for s in range(d)],
         axis=-1,
     )
     out = _hat_block_resample(moving[0], q, spatial, block, chunk)
@@ -516,16 +541,17 @@ def warp_flow_blocked(
     chunk: int = 432,
 ) -> jnp.ndarray:
     """Exact dense-flow warp (reference utils.py:333-365 semantics) via the
-    blocked resampler. 3D, batch 1.
+    blocked resampler. 2D/3D, batch 1.
 
     ``block`` must be >= :func:`required_block_flow` of the true ``max|flow|``
     — use :func:`warp_flow_fast` (eager) for automatic derivation.
     """
     spatial = src.shape[2:]
-    assert src.shape[0] == 1 and len(spatial) == 3
+    d = len(spatial)
+    assert src.shape[0] == 1 and d in (2, 3)
     grids, tile_org, loc = _tile_grid(spatial)
-    o = tile_org[:, None, :] + loc[None]  # [T, V, 3] int
-    # flow is [1, 3, *S] with channel i displacing axis i (voxel units)
+    o = tile_org[:, None, :] + loc[None]  # [T, V, d] int
+    # flow is [1, d, *S] with channel i displacing axis i (voxel units)
     Sp = [g * TILE for g in grids]
     # Edge-pad (NOT zero-pad): in a partial boundary tile, zero-flow pad
     # voxels sample at identity coordinates and drag the per-tile block
@@ -538,15 +564,159 @@ def warp_flow_blocked(
     # :func:`flow_tile_extent` (which sizes ``block``) measures the extent.
     fpad = jnp.pad(
         flow[0],
-        ((0, 0),) + tuple((0, Sp[i] - spatial[i]) for i in range(3)),
+        ((0, 0),) + tuple((0, Sp[i] - spatial[i]) for i in range(d)),
         mode="edge",
     )
     ftiles = fpad.reshape(
-        3, grids[0], TILE, grids[1], TILE, grids[2], TILE
-    ).transpose(1, 3, 5, 2, 4, 6, 0).reshape(-1, TILE ** 3, 3)
+        (d,) + tuple(x for i in range(d) for x in (grids[i], TILE))
+    )
+    perm = (
+        tuple(1 + 2 * i for i in range(d))
+        + tuple(2 + 2 * i for i in range(d))
+        + (0,)
+    )
+    ftiles = ftiles.transpose(perm).reshape(-1, TILE ** d, d)
     q = o.astype(jnp.float32) + ftiles
     out = _hat_block_resample(src[0], q, spatial, block, chunk)
     return _untile(out, grids, spatial, src.shape[1])[None]
+
+
+# -------------------------------------------------- ROI-gather (Pallas) path
+
+ROIGATHER_ENABLED = True  # measured on v5e r4 (see BASELINE.md resampler
+# table); flip False to force the slice-gather blocked path
+
+
+def _roi_supports(theta_np, spatial, align_corners):
+    """Host-side per-tile support origins for the ROI-gather kernel, or None
+    when the transform's support exceeds the kernel's static 16-wide windows
+    (caller falls back to the slice-gather path). Returns (scalars [T,5]
+    int32, absolute (orgz, orgy, orgx) [T] each, grids)."""
+    import numpy as np
+
+    from .pallas.roigather import AW, BW, CW, NB, QB
+
+    M, t = _index_map_np(theta_np, spatial, align_corners)
+    ext = (TILE - 1) * np.abs(M).sum(axis=1) + 3.0
+    if (ext > np.asarray([AW, BW, CW], np.float64)).any():
+        return None
+    grids = [-(-s // TILE) for s in spatial]
+    axes = [np.arange(g) * TILE for g in grids]
+    og = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    corn = np.stack(
+        np.meshgrid(*[np.asarray([0.0, TILE - 1.0])] * 3, indexing="ij"), -1
+    ).reshape(8, 3)
+    qc = (og[:, None, :] + corn[None]) @ M.T + t  # [T, 8, 3]
+    qmin = np.floor(qc.min(axis=1)) - 1.0  # [T, 3]
+    sizes = np.asarray(spatial, np.int64)
+    org = np.clip(qmin.astype(np.int64), 0, sizes - (AW, BW, CW))
+    zq, yq = org[:, 0] // QB, org[:, 1] // QB
+    scal = np.stack(
+        [zq, yq, org[:, 0] - QB * zq, org[:, 1] - QB * yq, org[:, 2]],
+        axis=-1,
+    ).astype(np.int32)
+    return scal, org, grids, M, t
+
+
+@partial(jax.jit, static_argnames=("grids", "spatial", "chunk"))
+def _roi_hat_contract(blocks, orgs, M, t, grids, spatial, chunk: int = 216):
+    """Exact trilinear values from ROI-gather compact blocks via per-axis
+    hat einsums, chunked over tiles (a full-T intermediate would be
+    ~14 GB). f32 HIGHEST throughout (the TPU default matmul precision is
+    bf16 and would cost ~1e-2 error)."""
+    from .pallas.roigather import AW, BW, CW
+
+    hi = jax.lax.Precision.HIGHEST
+    grids = list(grids)
+    _, tile_org, loc = _tile_grid(spatial)
+    o = (tile_org[:, None, :] + loc[None]).astype(jnp.float32)  # [T, V, 3]
+    orgs = orgs.astype(jnp.float32)
+    T = blocks.shape[0]
+    V = o.shape[1]
+
+    def hat(qs, org0, width):
+        pos = org0[:, None] + jnp.arange(width, dtype=jnp.float32)  # [ct, w]
+        return jnp.maximum(
+            0.0, 1.0 - jnp.abs(qs[:, :, None] - pos[:, None, :])
+        )  # [ct, V, w]
+
+    def do_chunk(args):
+        blk, oc, orgc = args  # [ct, CW, AW*BW], [ct, V, 3], [ct, 3]
+        q = [
+            M[s, 0] * oc[..., 0] + M[s, 1] * oc[..., 1]
+            + M[s, 2] * oc[..., 2] + t[s]
+            for s in range(3)
+        ]
+        blk4 = blk.reshape(blk.shape[0], CW, AW, BW)
+        wz = hat(q[0], orgc[:, 0], AW)
+        u1 = jnp.einsum("tva,tcab->tvcb", wz, blk4, precision=hi)
+        wy = hat(q[1], orgc[:, 1], BW)
+        u2 = jnp.einsum("tvb,tvcb->tvc", wy, u1, precision=hi)
+        wx = hat(q[2], orgc[:, 2], CW)
+        return jnp.einsum("tvc,tvc->tv", wx, u2, precision=hi)
+
+    n_chunks = -(-T // chunk)
+    pad = n_chunks * chunk - T
+    blk_p = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+    o_p = jnp.pad(o, ((0, pad), (0, 0), (0, 0)))
+    org_p = jnp.pad(orgs, ((0, pad), (0, 0)))
+    out = jax.lax.map(
+        do_chunk,
+        (
+            blk_p.reshape(n_chunks, chunk, CW, AW * BW),
+            o_p.reshape(n_chunks, chunk, V, 3),
+            org_p.reshape(n_chunks, chunk, 3),
+        ),
+    ).reshape(n_chunks * chunk, V)[:T]
+    return _untile(out[:, None, :], grids, spatial, 1)[None]
+
+
+def warp_affine_roi(theta, moving, align_corners: bool = False):
+    """Exact affine warp via the Pallas ROI-gather kernel (grid_sample
+    parity; reference warpings.py:18-26). 3D, batch 1. Returns None when the
+    transform/geometry is outside the kernel's static windows — callers fall
+    back to :func:`warp_affine_blocked`."""
+    import numpy as np
+
+    from .pallas.roigather import CW, QB, roigather
+
+    theta = as_matrix(theta)
+    spatial = moving.shape[2:]
+    if (
+        isinstance(theta, jax.core.Tracer)
+        or len(spatial) != 3
+        or min(spatial) < 4 * QB
+        or moving.shape[0] != 1
+    ):
+        return None
+    theta_np = np.asarray(jax.device_get(theta), np.float64)[0]
+    sup = _roi_supports(theta_np, spatial, align_corners)
+    if sup is None:
+        return None
+    scal, org, grids, M, t = sup
+    # pad z/y by QB past the quantized windows' worst case, x to a
+    # 128-multiple >= S2 (+CW so ox+c stays in-bounds even unclamped)
+    Zp = QB * (-(-spatial[0] // QB)) + 2 * QB
+    Yp = QB * (-(-spatial[1] // QB)) + 2 * QB
+    Xp = 128 * (-(-(spatial[2]) // 128))
+    vols = []
+    for c in range(moving.shape[1]):
+        volp = jnp.pad(
+            moving[0, c],
+            ((0, Zp - spatial[0]), (0, Yp - spatial[1]), (0, Xp - spatial[2])),
+        )
+        blocks = roigather(volp, jnp.asarray(scal))
+        vols.append(
+            _roi_hat_contract(
+                blocks,
+                jnp.asarray(org, jnp.int32),
+                jnp.asarray(M, jnp.float32),
+                jnp.asarray(t, jnp.float32),
+                tuple(grids),
+                spatial,
+            )[0, 0]
+        )
+    return jnp.stack(vols)[None]
 
 
 # ------------------------------------------------------------ eager wrappers
@@ -555,8 +725,9 @@ def warp_flow_blocked(
 def warp_affine_fast(theta, moving, align_corners: bool = False):
     """Exact affine warp with automatic block sizing (eager; one host sync on
     theta — 12 floats). Falls back to the element-gather path when the blocked
-    resampler doesn't apply (2D, batch>1, tiny volumes, huge transforms, or a
-    traced theta — block sizing needs concrete values)."""
+    resampler doesn't apply (batch>1 with per-element thetas handled by a
+    short loop; tiny volumes, huge transforms, or a traced theta — block
+    sizing needs concrete values). 2D and 3D."""
     from .resample import warp_affine
 
     theta = as_matrix(jnp.asarray(theta))
@@ -564,7 +735,7 @@ def warp_affine_fast(theta, moving, align_corners: bool = False):
     N = moving.shape[0]
     if (
         isinstance(theta, jax.core.Tracer)
-        or len(spatial) != 3
+        or len(spatial) not in (2, 3)
         or min(spatial) < TILE
     ):
         return warp_affine(theta, moving, align_corners)
@@ -587,7 +758,15 @@ def warp_affine_fast(theta, moving, align_corners: bool = False):
     B += -B % 2
     if B > min(_MAX_BLOCK, min(spatial)):
         return warp_affine(theta, moving, align_corners)
-    if SUPERTILE_ENABLED and min(spatial) >= SUPER:
+    if ROIGATHER_ENABLED and len(spatial) == 3 and jax.default_backend() != "cpu":
+        # Pallas ROI-gather path: pipelined block DMA + in-kernel one-hot
+        # restack instead of the latency-bound XLA slice gather. Returns
+        # None (fall through) outside its static support windows. CPU runs
+        # keep the gather path — interpret-mode Pallas underperforms there.
+        out = warp_affine_roi(theta, moving, align_corners)
+        if out is not None:
+            return out
+    if SUPERTILE_ENABLED and len(spatial) == 3 and min(spatial) >= SUPER:
         # Experimental: slab gather + one-hot restack (full-X rows instead
         # of 13824 short-row slices at 240^3). Measured SLOWER than the
         # plain blocked path on v5e (128 ms vs 67 ms at 240^3): XLA pads
@@ -618,7 +797,7 @@ def warp_flow_fast(src, flow, max_disp: float | None = None):
     spatial = src.shape[2:]
     if (
         (max_disp is None and isinstance(flow, jax.core.Tracer))
-        or len(spatial) != 3
+        or len(spatial) not in (2, 3)
         or min(spatial) < TILE
     ):
         return warp_flow(src, flow)
