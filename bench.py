@@ -74,6 +74,23 @@ def pallas_selftest() -> str:
         return f"fail:sweep_{type(e).__name__}"
 
     try:
+        from torchregister_tpu.ops.blocked import warp_affine_roi
+        from torchregister_tpu.ops.resample import warp_affine as _warp_exact
+        from torchregister_tpu.ops.transforms import rigid_theta as _rt
+
+        mv = jax.random.uniform(jax.random.key(3), (1, 1, 50, 47, 44), jnp.float32)
+        th = _rt(jnp.asarray([0.15, -0.12, 0.1, 0.12, -0.08, 0.06], jnp.float32))[None]
+        got = warp_affine_roi(th, mv)
+        if got is None:
+            return "fail:roi_declined"
+        want = _warp_exact(th, mv)
+        err = float(jnp.max(jnp.abs(got - want)))
+        if err >= 1e-4:
+            return f"fail:roi_maxdiff={err:.3e}"
+    except Exception as e:  # pragma: no cover - only on kernel regression
+        return f"fail:roi_{type(e).__name__}"
+
+    try:
         x = jax.random.normal(jax.random.key(1), (8, 40, 60, 70), jnp.float32)
         w = jax.random.normal(jax.random.key(2), (3, 3, 3, 8, 8), jnp.float32) * 0.2
         got = conv3x3x3(x, w)
@@ -154,7 +171,84 @@ def flow_truth_metrics(res, moving, target, theta_true, flow_true):
     return 100.0 * (1.0 - r1 / max(r0, 1e-12)), field_err
 
 
+# The measured headline recipe — ONE source of truth, shared by the tune
+# scripts (benchmarks/_ab.py) and run_configs.py so A/B variants always start
+# from what bench.py actually runs.
+RECIPE = dict(
+    stages=("rigid", "affine", "flow"),
+    levels=3,
+    rigid_epochs=500,
+    rigid_lr=3e-3,
+    affine_epochs=200,
+    affine_lr=1e-3,
+    flow_epochs=300,
+    flow_lr=0.3,
+    criterions=("mse", "ncc"),
+    optimizer="adam",
+    n=8,
+    # f32 field-stage images: bf16 (measured r3) makes the plateau
+    # loss noisy enough that the stop fires ~13 steps later AND
+    # quality drops (99.08 vs 99.25 rigid-gate RMSE reduction) — the
+    # cheaper steps don't pay for themselves in field mode.
+    flow_dtype="float32",
+    level_decay=3.5,  # steeper coarse-heavy budgets: equal RMSE, -30% time
+    # r2 recipe upgrades (measured, tune4/tune5 on 3 pairs): bf16
+    # matrix-stage sweeps (theta math and reductions stay f32);
+    # 2.80 s -> 0.78 s per 240^3 cascade at strictly better quality.
+    matrix_dtype="bfloat16",
+    # plateau early-stop for the matrix stages (engines/common.py):
+    # identical RMSE, 0.78 s -> 0.57 s (the budgets overshoot).
+    # patience 10 (r3, A/B on both quality gates): rigid 226 -> 196
+    # and affine 54 -> 33 executed steps at IDENTICAL rigid-gate and
+    # deformable-truth scores — 0.61 s -> 0.53 s. patience tails were
+    # pure plateau-polish; tighter than 10 starts costing quality.
+    matrix_stop_rel=1e-3,
+    matrix_patience=10,
+    # r3: matrix stages skip the 240^3 fine level entirely — thetas
+    # live in normalized coords and a 6/12-param global transform
+    # gains nothing from full-res gradients, while fine-level steps
+    # cost 8x mid-level ones. A/B (tune_matrix_levels.py, both
+    # quality gates): 0.524 s -> 0.286 s at IDENTICAL rigid-gate
+    # (99.25%) and deformable-truth (96.9%, 2.26->2.29 vox) scores.
+    # matrix_levels=1 saves 0.02 s more but starts costing both gates.
+    matrix_levels=2,
+    # r3 recipe upgrade (measured on the deformable-truth control +
+    # the rigid-gate pair): DIRECT-FIELD flow stage (demons-style,
+    # engines/flow.py flow_model='field') with a diffusion
+    # regularizer. The r2 U-Net flow polish scored 99.86% on the
+    # rigid gate but only 54.6% RMSE reduction on a known smooth
+    # 7-voxel deformation (epochs/lr/dtype/texture all probed — the
+    # U-Net parameterization itself is the bottleneck); the field
+    # stage recovers 97.1% of the deformable control at ~1/3 the
+    # flow wall time (no network fwd/bwd), 99.2% on the rigid gate.
+    flow_model="field",
+    flow_smooth=0.5,
+    # flow plateau stop: the easy (rigid-residual) pair converges in
+    # far fewer than 300 field steps
+    flow_stop_rel=1e-3,
+    flow_patience=25,
+)
+
 _CASCADE = None
+_CASCADE_UNET = None
+
+
+def run_cascade_unet(moving, target):
+    """The reference-parity U-Net flow mode (flow_model='unet'), same recipe
+    otherwise. Its deformable-truth number is published in the bench JSON so
+    the out-of-box-vs-parity gap stays measured (r3 VERDICT #1): the default
+    flow mode is 'field' because the U-Net path recovers far less of a known
+    smooth deformation."""
+    from torchregister_tpu.engines.cascade import make_cascade_fn
+
+    global _CASCADE_UNET
+    if _CASCADE_UNET is None:
+        _CASCADE_UNET = make_cascade_fn(
+            **{**RECIPE, "flow_model": "unet", "flow_smooth": None}
+        )
+    res = _CASCADE_UNET(moving, target)
+    checksum = float(res.warped.mean())
+    return res, checksum
 
 
 def run_cascade(moving, target):
@@ -162,60 +256,7 @@ def run_cascade(moving, target):
 
     global _CASCADE
     if _CASCADE is None:
-        _CASCADE = make_cascade_fn(
-            stages=("rigid", "affine", "flow"),
-            levels=3,
-            rigid_epochs=500,
-            rigid_lr=3e-3,
-            affine_epochs=200,
-            affine_lr=1e-3,
-            flow_epochs=300,
-            flow_lr=0.3,
-            criterions=("mse", "ncc"),
-            optimizer="adam",
-            n=8,
-            # f32 field-stage images: bf16 (measured r3) makes the plateau
-            # loss noisy enough that the stop fires ~13 steps later AND
-            # quality drops (99.08 vs 99.25 rigid-gate RMSE reduction) — the
-            # cheaper steps don't pay for themselves in field mode.
-            flow_dtype="float32",
-            level_decay=3.5,  # steeper coarse-heavy budgets: equal RMSE, -30% time
-            # r2 recipe upgrades (measured, tune4/tune5 on 3 pairs): bf16
-            # matrix-stage sweeps (theta math and reductions stay f32);
-            # 2.80 s -> 0.78 s per 240^3 cascade at strictly better quality.
-            matrix_dtype="bfloat16",
-            # plateau early-stop for the matrix stages (engines/common.py):
-            # identical RMSE, 0.78 s -> 0.57 s (the budgets overshoot).
-            # patience 10 (r3, A/B on both quality gates): rigid 226 -> 196
-            # and affine 54 -> 33 executed steps at IDENTICAL rigid-gate and
-            # deformable-truth scores — 0.61 s -> 0.53 s. patience tails were
-            # pure plateau-polish; tighter than 10 starts costing quality.
-            matrix_stop_rel=1e-3,
-            matrix_patience=10,
-            # r3: matrix stages skip the 240^3 fine level entirely — thetas
-            # live in normalized coords and a 6/12-param global transform
-            # gains nothing from full-res gradients, while fine-level steps
-            # cost 8x mid-level ones. A/B (tune_matrix_levels.py, both
-            # quality gates): 0.524 s -> 0.286 s at IDENTICAL rigid-gate
-            # (99.25%) and deformable-truth (96.9%, 2.26->2.29 vox) scores.
-            # matrix_levels=1 saves 0.02 s more but starts costing both gates.
-            matrix_levels=2,
-            # r3 recipe upgrade (measured on the deformable-truth control +
-            # the rigid-gate pair): DIRECT-FIELD flow stage (demons-style,
-            # engines/flow.py flow_model='field') with a diffusion
-            # regularizer. The r2 U-Net flow polish scored 99.86% on the
-            # rigid gate but only 54.6% RMSE reduction on a known smooth
-            # 7-voxel deformation (epochs/lr/dtype/texture all probed — the
-            # U-Net parameterization itself is the bottleneck); the field
-            # stage recovers 97.1% of the deformable control at ~1/3 the
-            # flow wall time (no network fwd/bwd), 99.2% on the rigid gate.
-            flow_model="field",
-            flow_smooth=0.5,
-            # flow plateau stop: the easy (rigid-residual) pair converges in
-            # far fewer than 300 field steps
-            flow_stop_rel=1e-3,
-            flow_patience=25,
-        )
+        _CASCADE = make_cascade_fn(**RECIPE)
     res = _CASCADE(moving, target)
     # Force real completion: on remote-device transports block_until_ready can
     # return before execution finishes; a host readback cannot.
@@ -253,6 +294,13 @@ def main():
         fres, fmov, ftgt, theta_true, flow_true
     )
 
+    # Parity-mode (U-Net) control on the same pair: tracked so the default
+    # (field) vs parity (unet) quality gap is public, per r3 VERDICT #1.
+    ures, _ = run_cascade_unet(fmov, ftgt)
+    unet_rmse_red, unet_field_err = flow_truth_metrics(
+        ures, fmov, ftgt, theta_true, flow_true
+    )
+
     regs_per_min = 60.0 / t
     baseline = 6.0  # north star: <10 s per cascade = 6/min
     print(
@@ -266,6 +314,8 @@ def main():
                 "rmse_reduction_pct": round(100 * (1 - r1 / max(r0, 1e-12)), 2),
                 "flow_truth_rmse_reduction_pct": round(flow_rmse_red, 2),
                 "flow_field_err_vox": round(field_err, 3),
+                "unet_flow_truth_rmse_reduction_pct": round(unet_rmse_red, 2),
+                "unet_flow_field_err_vox": round(unet_field_err, 3),
             }
         )
     )

@@ -22,18 +22,9 @@ def main():
 
     moving, target = bench.make_pair()
 
-    # Mirror the bench recipe exactly (bench.py:run_cascade) so stage deltas
-    # explain the headline number.
-    base = dict(
-        levels=3, rigid_epochs=500, rigid_lr=3e-3, affine_epochs=200,
-        affine_lr=1e-3, flow_epochs=300, flow_lr=0.3,
-        criterions=("mse", "ncc"), optimizer="adam", n=8,
-        flow_dtype="float32", level_decay=3.5,
-        matrix_dtype="bfloat16", matrix_stop_rel=1e-3, matrix_patience=10,
-        matrix_levels=2,
-        flow_model="field", flow_smooth=0.5,
-        flow_stop_rel=1e-3, flow_patience=25,
-    )
+    # The bench recipe itself (bench.RECIPE) so stage deltas explain the
+    # headline number; `stages` is overridden per row below.
+    base = {k: v for k, v in bench.RECIPE.items() if k != "stages"}
 
     def timeit(fn, n=3):
         fn()

@@ -122,18 +122,12 @@ def main():
     targets = jnp.concatenate([p[1] for p in pairs])
     from torchregister_tpu.engines.cascade import make_cascade_batch_fn
 
-    cascade = make_cascade_batch_fn(
-        levels=3, rigid_epochs=500 // div, affine_epochs=200 // div,
-        flow_epochs=300 // div, criterions=("mse", "ncc"), optimizer="adam",
-        n=8, flow_dtype="float32", level_decay=3.5,  # f32 field images: see bench.py
-        # bench.py r3 recipe: bf16 matrix sweeps + direct-field flow stage
-        # with diffusion smoothing and plateau stops (see bench.py)
-        matrix_dtype="bfloat16", matrix_stop_rel=1e-3, matrix_patience=10,
-        matrix_levels=2,
-        flow_model="field", flow_lr=0.3, flow_smooth=0.5,
-        flow_stop_rel=1e-3, flow_patience=25,
-        rigid_lr=3e-3, affine_lr=1e-3,
-    )
+    import bench  # the headline recipe — ONE source of truth (bench.RECIPE)
+
+    recipe = dict(bench.RECIPE)
+    for k in ("rigid_epochs", "affine_epochs", "flow_epochs"):
+        recipe[k] = max(1, recipe[k] // div)
+    cascade = make_cascade_batch_fn(**recipe)
     # Microbatch 2 on one chip: the r2 recipe's scale-aware final flow window
     # (K=16, 34 sweep terms) is fused-unrolled per vmap element — the
     # footprint guard in ops/separable.py sees per-element shapes only, so at
