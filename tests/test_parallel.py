@@ -7,6 +7,9 @@ from torchregister_tpu.ops.resample import warp_affine
 from torchregister_tpu.ops.transforms import rigid_theta
 from torchregister_tpu.parallel.cohort import register_cohort
 from torchregister_tpu.parallel.mesh import batch_sharding, make_mesh
+import pytest
+
+pytestmark = pytest.mark.slow  # full optimizations on the 8-device mesh (smoke tier: -m 'not slow')
 
 
 def _blobs(batch, shape, seed=0):
@@ -181,6 +184,33 @@ def test_cohort_flow_runs():
     )
     assert res.flow.shape == (2, 1, 2, 20, 20)
     assert np.isfinite(np.asarray(res.flow)).all()
+
+
+def test_cohort_flow_field_mode_recovers_shift():
+    """The winning direct-field recipe runs cohort-wide (VERDICT r3 #4):
+    flow_model/smooth/stop_rel/patience pass through register_cohort, and a
+    sharded field cohort recovers per-pair translations."""
+    mesh = make_mesh((2,), ("data",), devices=jax.devices()[:2])
+    movings = _blobs(2, (24, 24), seed=7)
+    # targets = movings shifted by +2 voxels along axis 0 (exact roll keeps
+    # the recoverable field a constant ~-2-voxel displacement)
+    targets = jnp.roll(movings, -2, axis=2)
+    kw = dict(
+        mode="flow", lr=0.5, epochs=120, criterions=["mse"],
+        optimizer="adam", flow_model="field", smooth=0.2, max_disp=4,
+        stop_rel=1e-4, patience=40,
+    )
+    res = register_cohort(movings, targets, **kw)
+    assert res.flow.shape == (2, 1, 2, 24, 24)
+    # interior displacement along axis 0 approaches +2 (sampling coord of the
+    # source is v + f(v); target(v) = moving(v+2))
+    interior = np.asarray(res.flow)[:, 0, 0, 8:-8, 8:-8]
+    assert abs(interior.mean() - 2.0) < 0.5
+    # sharded run matches unsharded
+    res_sh = register_cohort(movings, targets, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.flow), np.asarray(res.flow), rtol=2e-4, atol=2e-4
+    )
 
 
 def test_rigid_engine_space_sharded_full_optimization():

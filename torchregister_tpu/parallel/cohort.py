@@ -67,6 +67,9 @@ def register_cohort(
     stop_rel: float | None = None,
     patience: int = 25,
     check_window: bool = True,
+    flow_model: str = "unet",
+    smooth: float = 0.0,
+    dtype: str = "float32",
 ):
     """Register ``movings [B, 1, *S]`` onto ``targets [B, 1, *S]`` pairwise.
 
@@ -79,6 +82,11 @@ def register_cohort(
     windows are auto-sized to cover the worst-case init in the batch, and
     ``check_window`` warns post-run (naming the samples) if any recovered
     transform outgrew them — never a silent truncation.
+
+    Flow mode additionally takes ``flow_model``/``smooth``/``dtype`` (same
+    contract as :func:`engines.flow.flow_register`), so the winning
+    direct-field recipe — ``flow_model='field'``, diffusion ``smooth``,
+    plateau ``stop_rel``/``patience`` — runs cohort-wide, not just per pair.
     """
     movings = jnp.asarray(movings, jnp.float32)
     targets = jnp.asarray(targets, jnp.float32)
@@ -139,17 +147,25 @@ def register_cohort(
                                int(patience)).run
         batched = _per_pair(run)
     elif mode == "flow":
-        if depth is None:
+        if flow_model == "field":
+            depth = 0  # no network; keep the build-cache key stable
+        elif depth is None:
             depth = max_depth_for(movings.shape[2:])
         run, model, *_rest = _build_flow_fn(
             tuple(criteria), tuple(w), float(lr), int(epochs), float(stop_crit),
             optimizer, ndim, 1, float(n), int(depth),
-            method, int(max_disp),
+            method, int(max_disp), str(dtype),
+            flow_model=str(flow_model), smooth=float(smooth),
+            stop_rel=srel, patience=int(patience),
         )
-        keys = jax.random.split(key, B)
-        params0 = jax.jit(
-            jax.vmap(lambda k, m: model.init(k, m[None])["params"])
-        )(keys, movings)
+        if flow_model == "field":
+            # Per-pair field params are the [1, d, *S] flow itself.
+            params0 = jnp.zeros((B, 1, ndim) + spatial, jnp.float32)
+        else:
+            keys = jax.random.split(key, B)
+            params0 = jax.jit(
+                jax.vmap(lambda k, m: model.init(k, m[None])["params"])
+            )(keys, movings)
 
         def one(mov, tgt, p0):
             return run(mov[None], tgt[None], p0)
