@@ -24,13 +24,17 @@ from torchregister_tpu.ops.transforms import rigid_theta
 
 
 def phantom(shape=(96, 96, 96), seed=0) -> np.ndarray:
-    """Synthetic brain-like volume: nested smooth ellipsoids + texture."""
+    """Synthetic brain-like volume: nested smooth ellipsoids + texture.
+    Works for 2D shapes too (the reference's 2D showcase is the "ringo"
+    image, reference README.md:4-8; any textured smooth image exercises the
+    same path)."""
     rng = np.random.default_rng(seed)
+    d = len(shape)
     grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
-    r2 = sum(g**2 * s for g, s in zip(grids, (1.3, 1.0, 1.1)))
+    r2 = sum(g**2 * s for g, s in zip(grids, (1.3, 1.0, 1.1)[:d]))
     vol = np.clip(1.0 - r2, 0, None) ** 0.7  # head
     for _ in range(10):  # internal structure
-        c = rng.uniform(-0.4, 0.4, 3)
+        c = rng.uniform(-0.4, 0.4, d)
         w = rng.uniform(0.05, 0.2)
         vol += 0.5 * np.exp(-sum((g - ci) ** 2 for g, ci in zip(grids, c)) / (2 * w**2))
     vol += 0.02 * rng.standard_normal(shape)
@@ -86,6 +90,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nifti", help="optional .nii/.nii.gz volume to register")
     ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--dim", type=int, default=3, choices=[2, 3],
+                    help="2 = the reference's 2D showcase scenario")
     ap.add_argument("--panel", help="write a before/after/flow PNG panel here")
     args = ap.parse_args()
 
@@ -95,14 +101,17 @@ def main():
         vol = read_volume(args.nifti)
         vol = vol[tuple(slice(0, min(s, 160)) for s in vol.shape[:3])]
     else:
-        vol = phantom((args.size,) * 3)
+        vol = phantom((args.size,) * args.dim)
 
     moving = jnp.asarray(vol)[None, None]
     moving = tr.norm(moving)
 
     # Perturb with a known rigid transform (the README uses torchio
     # RandomAffine; ground truth = the inverse is recoverable).
-    true_params = jnp.asarray([0.08, -0.05, 0.06, 0.3, -0.2, 0.15], jnp.float32)
+    if args.dim == 2:
+        true_params = jnp.asarray([0.1, 0.25, -0.15], jnp.float32)
+    else:
+        true_params = jnp.asarray([0.08, -0.05, 0.06, 0.3, -0.2, 0.15], jnp.float32)
     target = warp_affine(rigid_theta(true_params)[None], moving)
     print(f"volume {moving.shape}, perturbation params {np.asarray(true_params)}")
 
