@@ -583,8 +583,22 @@ def warp_flow_blocked(
 
 # -------------------------------------------------- ROI-gather (Pallas) path
 
-ROIGATHER_ENABLED = True  # measured on v5e r4 (see BASELINE.md resampler
-# table); flip False to force the slice-gather blocked path
+ROIGATHER_ENABLED = False  # measured on v5e r4 and routed OFF — the honest
+# numbers (240^3 f32, rigid 0.12-0.15 rad, benchmarks/probe_roi_loop.py /
+# probe_roi_stages.py):
+#   eager (the user-facing __call__/apply path): blocked 91.4 ms, fused ROI
+#     kernel 135.0 ms (~50 ms of per-call wrapper dispatch + host->device
+#     scalar shipping through the tunnel);
+#   jit-loop-amortized device cost: blocked 63.6 ms/warp, fused 60.6 — a 5%
+#     tie, not a win.
+# Why it can't reach the <=30 ms target on this stack: the 9-block quantized
+# fetch is issue-bound at ~0.33 us/DMA (41 ms for 124k block DMAs; stage-
+# isolated), element-granular BlockSpecs that would make it 1 DMA/tile crash
+# the remote compile helper (probe_hatgather.py P2/P3 HTTP 500), and the
+# in-VMEM one-hot restack + hat weights are VPU-bound at ~25 ms more. A
+# slab-row refetch redesign would cut the fetch to ~8 ms but leaves the
+# ~40 ms VPU floor. The kernel stays (tests + bench selftest keep hardware
+# value parity) for workloads that warp many volumes inside one jit.
 
 
 def _roi_supports(theta_np, spatial, align_corners):
@@ -671,6 +685,12 @@ def _roi_hat_contract(blocks, orgs, M, t, grids, spatial, chunk: int = 216):
     return _untile(out[:, None, :], grids, spatial, 1)[None]
 
 
+ROIGATHER_FUSED = True  # fused in-kernel hat contraction (roigather_warp)
+# vs compact-block kernel + XLA hats: the XLA hat side moves ~28 GB HBM at
+# 240^3 and pads its K=16 einsums 8x on the MXU (measured 139.6 ms total vs
+# 93.8 slice-gather); the fused kernel keeps everything in VMEM.
+
+
 def warp_affine_roi(theta, moving, align_corners: bool = False):
     """Exact affine warp via the Pallas ROI-gather kernel (grid_sample
     parity; reference warpings.py:18-26). 3D, batch 1. Returns None when the
@@ -678,7 +698,7 @@ def warp_affine_roi(theta, moving, align_corners: bool = False):
     back to :func:`warp_affine_blocked`."""
     import numpy as np
 
-    from .pallas.roigather import CW, QB, roigather
+    from .pallas.roigather import CW, QB, roigather, roigather_warp
 
     theta = as_matrix(theta)
     spatial = moving.shape[2:]
@@ -699,12 +719,22 @@ def warp_affine_roi(theta, moving, align_corners: bool = False):
     Zp = QB * (-(-spatial[0] // QB)) + 2 * QB
     Yp = QB * (-(-spatial[1] // QB)) + 2 * QB
     Xp = 128 * (-(-(spatial[2]) // 128))
+    mt = jnp.asarray(
+        np.concatenate([np.concatenate([M[s], [t[s]]]) for s in range(3)]),
+        jnp.float32,
+    )
     vols = []
     for c in range(moving.shape[1]):
         volp = jnp.pad(
             moving[0, c],
             ((0, Zp - spatial[0]), (0, Yp - spatial[1]), (0, Xp - spatial[2])),
         )
+        if ROIGATHER_FUSED:
+            out = roigather_warp(volp, jnp.asarray(scal), mt, grids, TILE)
+            vols.append(
+                _untile(out[:, :, : TILE ** 3], grids, spatial, 1)[0]
+            )
+            continue
         blocks = roigather(volp, jnp.asarray(scal))
         vols.append(
             _roi_hat_contract(
