@@ -181,7 +181,6 @@ RECIPE = dict(
     rigid_lr=3e-3,
     affine_epochs=200,
     affine_lr=1e-3,
-    flow_epochs=300,
     flow_lr=0.3,
     criterions=("mse", "ncc"),
     optimizer="adam",
@@ -223,8 +222,20 @@ RECIPE = dict(
     # flow wall time (no network fwd/bwd), 99.2% on the rigid gate.
     flow_model="field",
     flow_smooth=0.5,
+    # r4 (tune_field.py A/B on both gates): a FULL-RESOLUTION third flow
+    # level beats the r3 half-res cap on every axis — 0.293 -> 0.273 s,
+    # rigid-gate 99.25 -> 99.28%, deform-gate 96.89 -> 97.59% — because the
+    # 3-level flow pyramid with plateau stops spends its steps coarser on
+    # average than one warm-started half-res stage, and skips the input
+    # downsample entirely. Field error stays ~2.26 vox: probed to be an
+    # APERTURE floor, not an optimizer gap (benchmarks/probe_field_floor.py:
+    # only 0.40 vox of it lies along image gradients; 2.22 vox is motion
+    # along intensity level sets, invisible to any similarity criterion).
+    flow_max_size=256,
+    flow_levels=3,
+    flow_epochs=450,
     # flow plateau stop: the easy (rigid-residual) pair converges in
-    # far fewer than 300 field steps
+    # far fewer than the budgeted field steps
     flow_stop_rel=1e-3,
     flow_patience=25,
 )
@@ -243,8 +254,13 @@ def run_cascade_unet(moving, target):
 
     global _CASCADE_UNET
     if _CASCADE_UNET is None:
+        # Pinned to the r3 flow geometry (half-res cap, 2 levels, 300 ep):
+        # the control tracks the U-Net PARAMETERIZATION's quality; a 240^3
+        # full-res U-Net stage (the r4 field recipe's geometry) would change
+        # its memory/compile profile without changing what it measures.
         _CASCADE_UNET = make_cascade_fn(
-            **{**RECIPE, "flow_model": "unet", "flow_smooth": None}
+            **{**RECIPE, "flow_model": "unet", "flow_smooth": None,
+               "flow_max_size": 160, "flow_levels": 2, "flow_epochs": 300}
         )
     res = _CASCADE_UNET(moving, target)
     checksum = float(res.warped.mean())
