@@ -61,11 +61,22 @@ def try_size(mode: str, S: int, epochs: int = 20) -> str:
                 criterions=("mse",), init="identity",
             )
             ck = float(jnp.mean(res.best_theta))
-        else:
+        elif mode == "flow":
             _, res = flow_register(
                 moving, target, max_epochs=epochs, lr=1e-3, n=8,
                 criterions=("mse",), dtype="bfloat16",
             )
+        elif mode == "flow-f32":
+            _, res = flow_register(
+                moving, target, max_epochs=epochs, lr=1e-3, n=8,
+                criterions=("mse",), dtype="float32",
+            )
+        else:  # field (the default flow mode since r4)
+            _, res = flow_register(
+                moving, target, max_epochs=epochs, lr=0.3, optimizer="adam",
+                criterions=("mse",), flow_model="field", smooth=0.5,
+            )
+        if mode != "rigid":
             ck = float(jnp.mean(res.flow.astype(jnp.float32)))
         dt = time.perf_counter() - t0
         return f"ok ({dt:.1f}s incl. compile, ck={ck:.2e})"
@@ -80,15 +91,18 @@ def try_size(mode: str, S: int, epochs: int = 20) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="both", choices=["rigid", "flow", "both"])
+    ap.add_argument("--mode", default="both",
+                    choices=["rigid", "flow", "flow-f32", "field", "both"])
     args = ap.parse_args()
     modes = ["rigid", "flow"] if args.mode == "both" else [args.mode]
     # f32 volume bytes: 320^3=131 MB, 448^3=360 MB, 512^3=537 MB, 576^3=764 MB,
     # 640^3=1.05 GB; engines hold O(10) volume-sized buffers (pyramid, grads,
     # adam moments, sweep temps).
     for mode in modes:
-        sizes = (240, 320, 384, 448, 512, 576, 640) if mode == "rigid" else (
-            160, 240, 320, 384, 448)
+        sizes = {
+            "rigid": (240, 320, 384, 448, 512, 576, 640),
+            "field": (240, 320, 384, 448),
+        }.get(mode, (160, 240, 320, 384, 448))
         for S in sizes:
             status = try_size(mode, S)
             print(f"{mode} {S}^3: {status}", flush=True)

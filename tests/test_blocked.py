@@ -45,6 +45,7 @@ def test_warp_affine_blocked_matches_exact(align, shape):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_warp_affine_blocked_multichannel():
     moving = _rand((1, 3, 24, 24, 24), 2)
     theta = _rot_theta(0.2)
@@ -144,6 +145,7 @@ def test_warp_flow_blocked_matches_exact(shape):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_warp_flow_fast_auto():
     src = _rand((1, 2, 24, 24, 24), 7)
     flow = jnp.clip(_rand((1, 3, 24, 24, 24), 8) * 1.5, -4.0, 4.0)
@@ -198,6 +200,7 @@ def test_flow_tile_extent_bf16_flow_upcasts():
     assert ext >= 9.0
 
 
+@pytest.mark.slow
 def test_warp_affine_fast_batched_shared_theta():
     """N volumes, one transform: folded into channels, still exact."""
     moving = _rand((3, 2, 24, 24, 24), 20)
@@ -231,6 +234,7 @@ def test_warp_flow_fast_batched():
     "shape,angle",
     [((48, 52, 41), 0.22), ((64, 64, 64), 0.0), ((80, 44, 56), 0.4)],
 )
+@pytest.mark.slow
 def test_warp_affine_supertile_matches_exact(align, shape, angle):
     """Uniform-offset restack parity: non-SUPER-multiple shapes, rotations up
     to 0.4 rad, multichannel."""
@@ -247,6 +251,7 @@ def test_warp_affine_supertile_matches_exact(align, shape, angle):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_warp_affine_supertile_zeros_padding_at_edges():
     """Support pushed past the volume edge: zeros semantics (padded volume,
     no origin clipping)."""
@@ -264,6 +269,7 @@ def test_warp_affine_supertile_zeros_padding_at_edges():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_warp_affine_fast_routes_supertile(monkeypatch):
     """With the experimental flag on, the eager wrapper picks the super-tile
     path for >=SUPER volumes and stays exact."""
@@ -290,6 +296,7 @@ def test_supertile_plan_scales_with_rotation():
 
 
 @pytest.mark.parametrize("stile", [8, 5])
+@pytest.mark.slow
 def test_warp_affine_supertile_stile_variants(stile):
     """The sub-tile edge is a free parameter (divisor of SUPER): every stile
     must reproduce the element-gather oracle exactly (the hat-contraction

@@ -11,6 +11,8 @@ import pytest
 import jax.numpy as jnp
 
 from torchregister_tpu.engines.common import check_sweep_windows, resolve_sweep_windows
+
+pytestmark = pytest.mark.slow  # full flow/cohort optimizations (smoke tier: -m 'not slow')
 from torchregister_tpu.engines.flow import flow_register
 from torchregister_tpu.engines.rigid import rigid_register
 from torchregister_tpu.ops.resample import warp_affine
