@@ -156,6 +156,10 @@ class CascadeConfig:
     matrix_stop_rel: Optional[float] = None
     matrix_patience: int = 25
     matrix_levels: Optional[int] = None  # rigid/affine on the coarsest N levels
+    matrix_optimizer: Optional[str] = None  # None -> `optimizer`; 'lm' = damped
+    # Newton on the 6/12-param matrix stages (engines/second_order.py)
+    moment_init: bool = False  # closed-form CoM translation init for the
+    # coarsest rigid level (ops/moments.py; the bench recipe enables it)
     flow_model: str = "field"  # default: direct dense-field flow stage (97%
     # deformable-truth recovery vs the U-Net parity path's 54-76%, BASELINE.md);
     # 'unet' = reference-parity mode (warpings.py:178-242)

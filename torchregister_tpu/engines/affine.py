@@ -53,7 +53,6 @@ def _build_affine_fn(
     patience: int = 25,
 ):
     loss = weighted_loss(criteria, weights)
-    tx = make_optimizer(optimizer, lr)
 
     def warp(theta, moving):
         if method == "separable":
@@ -80,6 +79,26 @@ def _build_affine_fn(
             param_history=hist,
             steps=steps,
         )
+
+    if optimizer == "lm":
+        # Damped Newton over the 6/12 theta entries (engines/second_order.py):
+        # ``epochs`` counts LM iterations; ``lr`` is unused.
+        from .second_order import make_chunked_lm
+
+        make_carry, run_chunk, finalize = make_chunked_lm(
+            loss_of, epochs, stop_rel=stop_rel, patience=patience
+        )
+
+        def run(moving, target, params0):
+            carry = run_chunk(moving, target, make_carry(params0),
+                              jnp.int32(epochs))
+            return _to_result(finalize(carry))
+
+        return EngineFns(run=jax.jit(run), make_carry=make_carry,
+                         run_chunk=run_chunk,
+                         finalize=lambda carry: _to_result(finalize(carry)))
+
+    tx = make_optimizer(optimizer, lr)
 
     def run(moving, target, params0):
         return _to_result(optimize_scan(

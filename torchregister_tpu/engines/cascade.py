@@ -24,7 +24,6 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.resample import warp_affine, warp_flow
 from ..ops.resize import downsample_avg
 # the unchecked core: engine thetas evolve from near-identity (well-
 # conditioned factorization) and support overflow is covered by
@@ -65,12 +64,18 @@ def make_cascade_fn(**config):
 _CASCADE_CACHE: dict = {}
 
 
-def make_cascade_batch_fn(mesh=None, **config):
+def make_cascade_batch_fn(mesh=None, spatial_axis=None, **config):
     """Batched (and optionally mesh-sharded) cascade:
     ``fn(movings [B,1,*S], targets [B,1,*S]) -> CascadeResult`` with a leading
     batch axis on every field — BASELINE config #5 ("batched cascade via
     vmap"). Pairs are independent, so with a ``mesh`` the batch axis shards
     over its ``data`` axis with zero collectives.
+
+    ``spatial_axis`` (with a 2-D ``data x space`` mesh) additionally shards
+    that spatial dimension of every volume over the mesh's ``space`` axis —
+    XLA GSPMD inserts the halo exchanges the sweep warps and pyramid convs
+    need at shard boundaries. This is the full product path sharded: the same
+    ``register_cascade`` program, one SPMD compile.
     """
     import jax as _jax
 
@@ -82,11 +87,14 @@ def make_cascade_batch_fn(mesh=None, **config):
     if mesh is None:
         return _jax.jit(batched)
 
-    from ..parallel.mesh import batch_sharding
-
-    sh = batch_sharding(mesh)
+    from ..parallel.mesh import batch_sharding, cohort_sharding
 
     def run(movings, targets):
+        if spatial_axis is None:
+            sh = batch_sharding(mesh)
+        else:
+            sh = cohort_sharding(mesh, ndim=movings.ndim - 2,
+                                 spatial_axis=spatial_axis)
         movings = _jax.device_put(movings, sh)
         targets = _jax.device_put(targets, sh)
         return _jax.jit(batched)(movings, targets)
@@ -146,6 +154,8 @@ def register_cascade(
     matrix_stop_rel: float | None = None,
     matrix_patience: int = 25,
     matrix_levels: int | None = None,
+    matrix_optimizer: str | None = None,
+    moment_init: bool = False,
     flow_model: str = "field",
     flow_smooth=None,
     flow_stop_rel: float | None = None,
@@ -182,13 +192,22 @@ def register_cascade(
     displacement).
 
     ``flow_levels`` (default ``min(2, levels)``) sets the flow stage's own
-    mini-pyramid depth; ``flow_criterions`` (default: ``criterions``)
+    mini-pyramid depth (validated: >= 1, clamped so the coarsest level keeps
+    >= 8 voxels per axis); ``flow_criterions`` (default: ``criterions``)
     overrides the similarity stack for the flow stage only (e.g. ``('lncc',)``
     where locally-normalized gradients help the fine field).
+
+    ``matrix_optimizer`` (default: ``optimizer``) selects the rigid/affine
+    stages' optimizer independently of the flow stage — ``'lm'`` runs damped
+    Newton (engines/second_order.py) on the 6/12-parameter matrix problems,
+    where ``rigid_epochs``/``affine_epochs`` then count LM iterations.
+    ``moment_init=True`` seeds the coarsest rigid level with the closed-form
+    center-of-mass translation (ops/moments.py) instead of identity.
     """
     moving = jnp.asarray(moving, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     ndim = moving.ndim - 2
+    m_opt = optimizer if matrix_optimizer is None else matrix_optimizer
     if flow_smooth is None:
         flow_smooth = 0.5 if flow_model == "field" else 0.0
     if flow_criterions is None:
@@ -216,7 +235,17 @@ def register_cascade(
 
     def level_shift(i, mov_l):
         if i == 0:  # coarsest level sees the full initial misalignment
-            return max(residual_shift, max(mov_l.shape[2:]) // 4)
+            S = max(mov_l.shape[2:])
+            if moment_init and "rigid" in stages:
+                # CoM init pre-matches the bulk translation, so the theta the
+                # coarse level optimizes stays near the init; the sweep still
+                # applies the FULL theta, whose tanh-bounded translation is
+                # <= 0.25 normalized = S/8 voxels — cover that plus rotation
+                # margin instead of the S/4 worst case (the sweep's term
+                # count, not its bytes, is the rigid stage's cost — roofline
+                # r5: 2.2% of HBM peak).
+                return max(residual_shift, S // 8 + 4)
+            return max(residual_shift, S // 4)
         return residual_shift
 
     def level_budgets(total, nlevels=None):
@@ -235,10 +264,18 @@ def register_cascade(
             zip(mov_pyr[:m_levels], tgt_pyr[:m_levels])
         ):
             base = _level_warp(theta, mov_l, exact=False) if i else mov_l
+            init_params = None
+            if i == 0 and moment_init:
+                # Closed-form center-of-mass translation init (ops/moments.py):
+                # one fused reduction pass per volume; the iterative stage then
+                # starts with the bulk shift already matched.
+                from ..ops.moments import com_rigid_params
+
+                init_params = com_rigid_params(base, tgt_l)
             _, res = rigid_register(
                 base, tgt_l, lr=rigid_lr, epochs=budgets[i],
                 criterions=list(criterions), weights=weights, grad_edges=False,
-                optimizer=optimizer, init="identity",
+                optimizer=m_opt, init="identity", init_params=init_params,
                 stop_rel=matrix_stop_rel, patience=matrix_patience,
                 max_shift=level_shift(i, mov_l), key=jax.random.key(seed),
                 check_window=False,  # windows sized explicitly per level; the
@@ -259,7 +296,7 @@ def register_cascade(
             _, res = affine_register(
                 base, tgt_l, lr=affine_lr, epochs=budgets[i],
                 criterions=list(criterions), weights=weights, grad_edges=False,
-                optimizer=optimizer,
+                optimizer=m_opt,
                 stop_rel=matrix_stop_rel, patience=matrix_patience,
                 max_shift=level_shift(i if "rigid" not in stages else levels, mov_l),
                 check_window=False,  # see rigid stage note
@@ -285,6 +322,19 @@ def register_cascade(
             scale *= 2
         if flow_levels is None:
             flow_levels = min(2, levels)
+        if flow_levels < 1:
+            raise ValueError(
+                f"flow_levels must be >= 1 (got {flow_levels}): the flow "
+                "stage needs at least one pyramid level"
+            )
+        # Clamp the depth so the coarsest level keeps >= 8 voxels per axis —
+        # deeper pyramids would build degenerate levels the warp can't use.
+        import math
+
+        min_s = min(flow_in.shape[2:])
+        flow_levels = min(
+            flow_levels, max(1, int(math.log2(max(1, min_s // 8))) + 1)
+        )
         f_pyr_in = build_pyramid(flow_in, flow_levels)
         f_pyr_tgt = build_pyramid(flow_tgt, flow_levels)
         smooths = (
@@ -324,10 +374,17 @@ def register_cascade(
                 # level recovers only 54-76% of a known smooth deformation
                 # (BASELINE.md deformable-truth control) — splitting the
                 # displacement across levels keeps each network's target
-                # small. One exact rebase warp per level (inside the jitted
-                # program; 2 levels -> 1 rebase).
+                # small. One rebase warp per level (inside the jitted
+                # program; 2 levels -> 1 rebase) — separable sweep, not the
+                # element-gather warp_flow: XLA gather runs ~1.1e8 elem/s on
+                # v5e (~0.1 s per 120^3 rebase), the sweep is ~3-7 ms. The
+                # window covers the composed magnitude: each coarser level
+                # contributes <= flow_max_disp at its own grid, doubled per
+                # upsample (r4 ADVICE).
                 total_flow = upsample_flow(total_flow, f_in.shape[2:])
-                base_in = warp_flow(f_in, total_flow)
+                base_in = warp_flow_separable(
+                    f_in, total_flow, max_disp=flow_max_disp * 2**li
+                )
                 params = None  # fresh net: the residual target changed
             _, fres = flow_register(
                 base_in, f_tgt, lr=flow_lr, max_epochs=eps,
@@ -358,6 +415,15 @@ def register_cascade(
         flow_losses = jnp.concatenate(losses)
         if scale > 1:
             flow = upsample_flow(flow, warped.shape[2:])
+        # A composed multi-level U-Net flow grows by up to 2^(flow_levels-1):
+        # each coarser level's contribution doubles per upsample (r4 ADVICE —
+        # under make_cascade_fn the end-of-run overflow check is a tracer
+        # no-op, so windows must be sized statically).
+        comp = (
+            2 ** (flow_levels - 1)
+            if (flow_model == "unet" and flow_compose)
+            else 1
+        )
         if final_warp == "exact":
             from ..ops.blocked import warp_flow_fast
 
@@ -366,7 +432,7 @@ def register_cascade(
             # The upsampled flow's magnitudes scale with the zoom — the final
             # sweep window must too, or large displacements get zeroed.
             warped = warp_flow_separable(
-                warped, flow, max_disp=flow_max_disp * scale
+                warped, flow, max_disp=flow_max_disp * scale * comp
             )
 
     # One end-of-run overflow check for the eager path (a single host sync,
@@ -384,7 +450,7 @@ def register_cascade(
             import warnings
 
             maxd = float(jnp.max(jnp.abs(flow)))
-            bound = flow_max_disp * scale
+            bound = flow_max_disp * scale * comp
             if maxd > bound:
                 warnings.warn(
                     f"register_cascade: recovered flow reaches {maxd:.1f} "

@@ -285,6 +285,24 @@ def flow_register(
     criteria, w = resolve_criteria(criterions, weights)
     ndim = moving.ndim - 2
     spatial = moving.shape[2:]
+    if (
+        flow_model == "unet"
+        and jnp.dtype(dtype) == jnp.bfloat16
+        and max(spatial) >= 160
+    ):
+        # Probed twice on the axon v5e stack (hbm_ceiling.py, r4): a bf16
+        # U-Net forward+backward at >=160^3 reproducibly CRASHES the TPU
+        # worker process (UNAVAILABLE "worker crashed" — not an OOM the
+        # client can catch). Refuse up front with provenance instead of
+        # letting the user hit an opaque dead worker. f32 U-Net and bf16
+        # field/matrix paths are unaffected.
+        raise ValueError(
+            f"flow_model='unet' with dtype='bfloat16' at spatial size "
+            f"{spatial} (>=160 per axis) crashes the TPU worker process on "
+            "this stack (probed twice; see BASELINE.md / CLAUDE.md). Use "
+            "dtype='float32' for the U-Net at this size, flow_model='field' "
+            "(whose bf16 path is safe), or a <160-voxel pyramid level."
+        )
     if flow_model == "field":
         depth = 0  # no network; keep the build cache key stable
     elif depth is None:

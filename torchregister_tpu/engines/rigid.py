@@ -65,9 +65,12 @@ def _build_rigid_fn(
     ``method='separable'`` (default) uses the gather-free sweep resampler in
     the hot loop (ops/separable.py — ~100x the throughput of the exact XLA
     gather path on TPU); ``'exact'`` keeps grid_sample-identical semantics.
+
+    ``optimizer='lm'`` swaps the first-order loop for damped Newton
+    (engines/second_order.py): ``epochs`` then counts LM iterations (each
+    ~n_params+2 passes but quadratically convergent) and ``lr`` is unused.
     """
     loss = weighted_loss(criteria, weights)
-    tx = make_optimizer(optimizer, lr)
 
     def warp(theta, moving):
         if method == "separable":
@@ -94,6 +97,24 @@ def _build_rigid_fn(
             param_history=hist,
             steps=steps,
         )
+
+    if optimizer == "lm":
+        from .second_order import make_chunked_lm
+
+        make_carry, run_chunk, finalize = make_chunked_lm(
+            loss_of, epochs, stop_rel=stop_rel, patience=patience
+        )
+
+        def run(moving, target, params0):
+            carry = run_chunk(moving, target, make_carry(params0),
+                              jnp.int32(epochs))
+            return _to_result(finalize(carry))
+
+        return EngineFns(run=jax.jit(run), make_carry=make_carry,
+                         run_chunk=run_chunk,
+                         finalize=lambda carry: _to_result(finalize(carry)))
+
+    tx = make_optimizer(optimizer, lr)
 
     def run(moving, target, params0):
         return _to_result(optimize_scan(
