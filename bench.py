@@ -157,7 +157,15 @@ def total_sampling_map(theta, flow, spatial):
 
 
 def flow_truth_metrics(res, moving, target, theta_true, flow_true):
-    """RMSE reduction + total-map recovery error (vox) on the foreground."""
+    """``(rmse_reduction_pct, field_err_vox, field_err_observable_vox)``.
+
+    ``field_err_observable_vox`` is the foreground-mean |component of the
+    map error ALONG the local image gradient| — the part any intensity
+    criterion can see. The tangential remainder is the aperture problem
+    (motion along intensity level sets produces zero image change); tracking
+    the observable component regression-proofs the r4 closure argument
+    (benchmarks/probe_field_floor.py, r4 VERDICT #3).
+    """
     import jax.numpy as jnp
 
     spatial = moving.shape[2:]
@@ -166,9 +174,15 @@ def flow_truth_metrics(res, moving, target, theta_true, flow_true):
     phi_true = total_sampling_map(theta_true, flow_true, spatial)
     phi_rec = total_sampling_map(res.theta, res.flow, spatial)
     fg = target[0, 0] > 0.1 * float(jnp.max(target))
-    err = jnp.linalg.norm(phi_rec - phi_true, axis=0)
-    field_err = float(jnp.sum(jnp.where(fg, err, 0.0)) / jnp.sum(fg))
-    return 100.0 * (1.0 - r1 / max(r0, 1e-12)), field_err
+    e = phi_rec - phi_true
+    err = jnp.linalg.norm(e, axis=0)
+    g = jnp.stack(jnp.gradient(target[0, 0]))
+    gn = g / (jnp.linalg.norm(g, axis=0, keepdims=True) + 1e-8)
+    e_par = jnp.abs(jnp.sum(e * gn, axis=0))
+    n_fg = jnp.sum(fg)
+    field_err = float(jnp.sum(jnp.where(fg, err, 0.0)) / n_fg)
+    field_err_obs = float(jnp.sum(jnp.where(fg, e_par, 0.0)) / n_fg)
+    return 100.0 * (1.0 - r1 / max(r0, 1e-12)), field_err, field_err_obs
 
 
 # The measured headline recipe — ONE source of truth, shared by the tune
@@ -211,6 +225,16 @@ RECIPE = dict(
     # (99.25%) and deformable-truth (96.9%, 2.26->2.29 vox) scores.
     # matrix_levels=1 saves 0.02 s more but starts costing both gates.
     matrix_levels=2,
+    # r5 (tune_rigid.py / tune_rigid2.py on both gates): closed-form
+    # center-of-mass translation init for the coarsest rigid level
+    # (ops/moments.py) — coarse executed steps 174 -> 31 at gate-identical
+    # scores (99.26/97.57 vs 99.28/97.59), 0.264 -> 0.245 s. The other r5
+    # rigid levers were measured and retired: LM/damped-Newton runs 2.2x
+    # SLOWER at identical gates (the n+2 Hessian passes cost what the Adam
+    # steps they replace cost — tune_lm.py), higher rigid lr (6e-3/1e-2)
+    # and matrix_patience<10 each trade 0.1+ rigid-gate points for ~0.01 s,
+    # and tighter flow patience (15/20) is neutral-to-worse on both axes.
+    moment_init=True,
     # r3 recipe upgrade (measured on the deformable-truth control +
     # the rigid-gate pair): DIRECT-FIELD flow stage (demons-style,
     # engines/flow.py flow_model='field') with a diffusion
@@ -221,7 +245,23 @@ RECIPE = dict(
     # stage recovers 97.1% of the deformable control at ~1/3 the
     # flow wall time (no network fwd/bwd), 99.2% on the rigid gate.
     flow_model="field",
-    flow_smooth=0.5,
+    # r5 prior A/B (tune_r5_final.py, VERDICT r4 #3): a per-level diffusion
+    # schedule that relaxes smoothing at the fine level lifts the deformable
+    # gate 97.57 -> 97.93% at IDENTICAL time and total-map error (2.28 vox,
+    # observable 0.43) — the prior lever improves the observable fit but
+    # cannot touch the aperture-invisible tangential error, confirming the
+    # r4 floor diagnosis. Stronger coarse smoothing (1.0,...) and a smoother
+    # fine level (...,0.5) both measured worse.
+    flow_smooth=(0.5, 0.5, 0.25),
+    # r5 window trim (tune_r5_final.py + roofline.py): the rigid stage runs
+    # at 2.2% of HBM peak — its cost is the unrolled sweep's TERM COUNT, so
+    # smaller static windows are near-linear wins. residual_shift 8 -> 6
+    # (fine-level windows 18 -> 14 terms/pass) and the moment-init coarse
+    # window S/4 -> S/8+4 (32 -> 26 terms): 0.245 -> 0.228 s at gate-equal
+    # scores (99.13-99.28 is the flow-stage noise band; deform gate and map
+    # error unchanged). residual_shift=4 saves 5 ms more but leaves only a
+    # 4-voxel per-level residual margin for general pairs — not taken.
+    residual_shift=6,
     # r4 (tune_field.py A/B on both gates): a FULL-RESOLUTION third flow
     # level beats the r3 half-res cap on every axis — 0.293 -> 0.273 s,
     # rigid-gate 99.25 -> 99.28%, deform-gate 96.89 -> 97.59% — because the
@@ -306,14 +346,14 @@ def main():
     # both image RMSE and the total sampling-map error in voxels.
     fmov, ftgt, theta_true, flow_true = make_flow_truth_pair()
     fres, _ = run_cascade(fmov, ftgt)
-    flow_rmse_red, field_err = flow_truth_metrics(
+    flow_rmse_red, field_err, field_err_obs = flow_truth_metrics(
         fres, fmov, ftgt, theta_true, flow_true
     )
 
     # Parity-mode (U-Net) control on the same pair: tracked so the default
     # (field) vs parity (unet) quality gap is public, per r3 VERDICT #1.
     ures, _ = run_cascade_unet(fmov, ftgt)
-    unet_rmse_red, unet_field_err = flow_truth_metrics(
+    unet_rmse_red, unet_field_err, unet_obs = flow_truth_metrics(
         ures, fmov, ftgt, theta_true, flow_true
     )
 
@@ -330,8 +370,12 @@ def main():
                 "rmse_reduction_pct": round(100 * (1 - r1 / max(r0, 1e-12)), 2),
                 "flow_truth_rmse_reduction_pct": round(flow_rmse_red, 2),
                 "flow_field_err_vox": round(field_err, 3),
+                "flow_field_err_observable_vox": round(field_err_obs, 3),
                 "unet_flow_truth_rmse_reduction_pct": round(unet_rmse_red, 2),
                 "unet_flow_field_err_vox": round(unet_field_err, 3),
+                # ~0.97 vs the field mode's ~0.43: the parity mode's gap is
+                # observable (capacity), not aperture — BASELINE.md r5 floor.
+                "unet_flow_field_err_observable_vox": round(unet_obs, 3),
             }
         )
     )

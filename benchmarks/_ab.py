@@ -54,12 +54,13 @@ def make_harness(base=None, shape=(240, 240, 240)):
         rigid_gate = 100.0 * (1.0 - r1 / max(r0, 1e-12))
 
         fres = run(fmov, ftgt)
-        flow_red, field_err = bench.flow_truth_metrics(
+        flow_red, field_err, field_err_obs = bench.flow_truth_metrics(
             fres, fmov, ftgt, theta_true, flow_true
         )
         print(
             f"{tag:<28} {t:7.3f} s   rigid-gate {rigid_gate:6.2f}%   "
-            f"deform-gate {flow_red:6.2f}%   field-err {field_err:.3f} vox",
+            f"deform-gate {flow_red:6.2f}%   field-err {field_err:.3f} vox "
+            f"(obs {field_err_obs:.3f})",
             flush=True,
         )
         return {
@@ -67,6 +68,7 @@ def make_harness(base=None, shape=(240, 240, 240)):
             "rigid_gate": rigid_gate,
             "deform_gate": flow_red,
             "field_err": field_err,
+            "field_err_obs": field_err_obs,
         }
 
     return run_variant

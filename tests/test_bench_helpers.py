@@ -29,11 +29,13 @@ def test_flow_truth_pair_and_metrics_ground_truth_is_exact():
     assert float(jnp.max(jnp.abs(flow_true))) <= 3.0 + 1e-4
     # feeding the truth back: perfect RMSE reduction, ~zero field error
     res = _FakeRes(target, theta_true, flow_true)
-    rmse_red, field_err = flow_truth_metrics(
+    rmse_red, field_err, field_err_obs = flow_truth_metrics(
         res, moving, target, theta_true, flow_true
     )
     assert rmse_red == 100.0
     assert field_err < 1e-4
+    # the observable (along-gradient) component can never exceed the total
+    assert field_err_obs <= field_err + 1e-6
 
 
 def test_total_sampling_map_identity():
