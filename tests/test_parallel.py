@@ -176,13 +176,32 @@ def test_cohort_grad_edges_per_sample():
 
 
 def test_cohort_flow_runs():
+    # flow_model pinned to 'unet': r5 flipped the cohort default to 'field'
+    # (matching api/cascade); this test keeps the U-Net cohort path covered.
     movings = _blobs(2, (20, 20), seed=5)
     targets = _blobs(2, (20, 20), seed=6)
     res = register_cohort(
         movings, targets, mode="flow", lr=1e-3, epochs=3,
-        criterions=["mse"], n=32, depth=1,
+        criterions=["mse"], n=32, depth=1, flow_model="unet",
+        optimizer="sgd", smooth=0.0,
     )
     assert res.flow.shape == (2, 1, 2, 20, 20)
+
+
+def test_cohort_flow_default_matches_api_resolution():
+    """ADVICE r4 (medium): the cohort's out-of-box flow call must run the same
+    engine as Register/register_cascade — field model, adam, lr 0.3,
+    smooth 0.5 (api.py:119,137,165). A default cohort flow run must therefore
+    actually move the loss (SGD+1e-5 on a direct field was a documented
+    no-op)."""
+    movings = _blobs(2, (16, 16), seed=21)
+    targets = jnp.roll(movings, -1, axis=2)
+    res = register_cohort(movings, targets, mode="flow", epochs=40,
+                          criterions=["mse"], max_disp=3)
+    losses = np.asarray(res.losses)
+    first = losses[:, 0]
+    last = losses[np.arange(2), np.asarray(res.steps) - 1]
+    assert (last < 0.5 * first).all(), (first, last)
     assert np.isfinite(np.asarray(res.flow)).all()
 
 

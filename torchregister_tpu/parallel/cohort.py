@@ -50,12 +50,12 @@ def register_cohort(
     targets: jnp.ndarray,
     mode: str = "rigid",
     mesh: Optional[Mesh] = None,
-    lr: float = 1e-5,
+    lr: float | None = None,
     epochs: int = 1000,
     criterions=None,
     weights=None,
     grad_edges: bool = False,
-    optimizer: str = "sgd",
+    optimizer: str | None = None,
     init: str = "identity",
     seed: int = 0,
     n: float = 32,
@@ -67,8 +67,8 @@ def register_cohort(
     stop_rel: float | None = None,
     patience: int = 25,
     check_window: bool = True,
-    flow_model: str = "unet",
-    smooth: float = 0.0,
+    flow_model: str = "field",
+    smooth: float | None = None,
     dtype: str = "float32",
 ):
     """Register ``movings [B, 1, *S]`` onto ``targets [B, 1, *S]`` pairwise.
@@ -87,7 +87,25 @@ def register_cohort(
     contract as :func:`engines.flow.flow_register`), so the winning
     direct-field recipe — ``flow_model='field'``, diffusion ``smooth``,
     plateau ``stop_rel``/``patience`` — runs cohort-wide, not just per pair.
+
+    **Default resolution matches the single-pair API** (api.py:119,137,165 —
+    a breaking change from r4, whose cohort defaulted ``flow_model='unet'``
+    with SGD): ``flow_model`` defaults to ``'field'``, and ``optimizer`` /
+    ``lr`` / ``smooth`` left as ``None`` resolve to ``adam`` / ``0.3`` /
+    ``0.5`` for field-mode flow and to the reference-parity ``sgd`` /
+    ``1e-5`` / ``0.0`` for every other mode — the same out-of-box call now
+    runs the same engine per-pair and cohort-wide. Pass ``flow_model='unet',
+    optimizer='sgd', smooth=0.0`` explicitly for the r4 cohort behavior.
     """
+    # Mirror Register.__init__/optim's default resolution (api.py:119,137,165)
+    # so cohort-wide and per-pair out-of-box behavior never diverge.
+    is_field_flow = mode == "flow" and flow_model == "field"
+    if optimizer is None:
+        optimizer = "adam" if is_field_flow else "sgd"
+    if lr is None:
+        lr = 0.3 if is_field_flow else 1e-5
+    if smooth is None:
+        smooth = 0.5 if is_field_flow else 0.0
     movings = jnp.asarray(movings, jnp.float32)
     targets = jnp.asarray(targets, jnp.float32)
     assert movings.shape == targets.shape and movings.shape[1] == 1
