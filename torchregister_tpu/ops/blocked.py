@@ -715,7 +715,9 @@ def warp_affine_roi(theta, moving, align_corners: bool = False):
         return None
     scal, org, grids, M, t = sup
     # pad z/y by QB past the quantized windows' worst case, x to a
-    # 128-multiple >= S2 (+CW so ox+c stays in-bounds even unclamped)
+    # 128-multiple >= S2. NOTE: Xp adds no CW margin — the ox <= S2-CW clamp
+    # in _roi_supports is what keeps the kernel's x-selection in-bounds; do
+    # not remove that clamp.
     Zp = QB * (-(-spatial[0] // QB)) + 2 * QB
     Yp = QB * (-(-spatial[1] // QB)) + 2 * QB
     Xp = 128 * (-(-(spatial[2]) // 128))

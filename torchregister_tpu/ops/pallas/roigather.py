@@ -100,7 +100,7 @@ def _interpret_mode() -> bool:
 
 
 @lru_cache(maxsize=8)
-def _build(T: int, Z: int, Y: int, Xp: int):
+def _build(T: int, Z: int, Y: int, Xp: int, interpret: bool = False):
     in_specs = [
         pl.BlockSpec(
             (QB, QB, Xp),
@@ -127,7 +127,7 @@ def _build(T: int, Z: int, Y: int, Xp: int):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
-        interpret=_interpret_mode(),
+        interpret=interpret,
     )
 
     def run(scalars, volp):
@@ -254,7 +254,8 @@ def _warp_kernel(tile, GY, GX,
 
 
 @lru_cache(maxsize=8)
-def _build_warp(T: int, Z: int, Y: int, Xp: int, GY: int, GX: int, tile: int):
+def _build_warp(T: int, Z: int, Y: int, Xp: int, GY: int, GX: int, tile: int,
+                interpret: bool = False):
     in_specs = [
         pl.BlockSpec(
             (QB, QB, Xp),
@@ -279,7 +280,7 @@ def _build_warp(T: int, Z: int, Y: int, Xp: int, GY: int, GX: int, tile: int):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-        interpret=_interpret_mode(),
+        interpret=interpret,
     )
 
     def run(scalars, mt, volp):
@@ -299,7 +300,7 @@ def roigather_warp(volp, scalars, mt, grids, tile: int) -> jnp.ndarray:
     assert tile ** 3 <= VP, tile
     _, GY, GX = grids
     return _build_warp(int(T), int(Z), int(Y), int(Xp), int(GY), int(GX),
-                       int(tile))(scalars, mt, volp)
+                       int(tile), _interpret_mode())(scalars, mt, volp)
 
 
 def roigather(volp: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
@@ -316,4 +317,4 @@ def roigather(volp: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
     T = scalars.shape[0]
     Z, Y, Xp = volp.shape
     assert Xp % 128 == 0, Xp
-    return _build(int(T), int(Z), int(Y), int(Xp))(scalars, volp)
+    return _build(int(T), int(Z), int(Y), int(Xp), _interpret_mode())(scalars, volp)
