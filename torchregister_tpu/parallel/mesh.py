@@ -43,6 +43,22 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def cohort_sharding(
+    mesh: Mesh,
+    ndim: int = 3,
+    spatial_axis: int | None = None,
+    data_axis: str = "data",
+    space_axis: str = "space",
+) -> NamedSharding:
+    """Sharding for a batched ``[B, C, *S]`` cohort: batch over ``data_axis``
+    and (optionally) spatial dim ``spatial_axis`` over ``space_axis`` — the
+    combined data x space layout of a 2-D mesh."""
+    spec = [data_axis, None] + [None] * ndim
+    if spatial_axis is not None:
+        spec[2 + spatial_axis] = space_axis
+    return NamedSharding(mesh, P(*spec))
+
+
 def volume_sharding(
     mesh: Mesh, spatial_axis: int = 0, mesh_axis: str = "space", ndim: int = 3
 ) -> NamedSharding:
