@@ -16,6 +16,7 @@ from torchregister_tpu.ops.moments import (
     center_of_mass,
     com_rigid_params,
     com_translation,
+    pa_rigid_params,
 )
 from torchregister_tpu.ops.resample import warp_affine
 from torchregister_tpu.ops.transforms import rigid_theta
@@ -176,6 +177,87 @@ def test_cascade_matrix_optimizer_lm():
     r0 = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
     r1 = float(jnp.sqrt(jnp.mean((res.warped - target) ** 2)))
     assert r1 < 0.08 * r0
+
+
+def _aniso_volume(shape):
+    """Anisotropic AND skewed along every principal axis: a separable
+    product of split Gaussians (right tail 1.8x wider than the left) with
+    distinct per-axis widths — distinct covariance eigenvalues and strong
+    per-axis third moments, the observable case for the principal-axes
+    init. (A symmetric lobe + satellite construction is NOT enough: the
+    lobe's ``3 sigma^2 (center - com)`` term cancels the satellite's third
+    moment along wide axes.)"""
+    d = len(shape)
+    grids = np.meshgrid(
+        *[np.linspace(-1, 1, s, dtype=np.float32) for s in shape], indexing="ij"
+    )
+    widths = [0.2, 0.13, 0.08][:d]  # distinct spreads per array axis
+    vol = np.ones(shape, np.float32)
+    for g, w in zip(grids, widths):
+        vol = vol * np.where(
+            g < 0, np.exp(-(g**2) / (2 * w**2)), np.exp(-(g**2) / (2 * (1.8 * w) ** 2))
+        ).astype(np.float32)
+    return jnp.asarray(vol[None, None])
+
+
+def test_pa_recovers_known_rotation_3d():
+    """pa_rigid_params inverts a known rigid theta on an anisotropic,
+    skewed volume (moments are closed-form — no optimization)."""
+    moving = _aniso_volume((48, 48, 48))
+    true_p = jnp.asarray([0.15, -0.12, 0.1, 0.3, -0.2, 0.25], jnp.float32)
+    target = warp_affine(rigid_theta(true_p)[None], moving)
+    got = pa_rigid_params(moving, target)
+    # angles are raw; translations live in the atanh domain like true_p
+    # (measured recovery is ~1e-4 rad on this volume; tolerance is slack)
+    np.testing.assert_allclose(
+        np.asarray(got[:3]), np.asarray(true_p[:3]), atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[3:]), np.asarray(true_p[3:]), atol=0.05
+    )
+
+
+def test_pa_falls_back_to_com_on_isotropic():
+    """A spherical blob has no observable frame: rotation must gate to zero
+    and the translation must match the CoM init exactly."""
+    moving = _blob_volume((32, 32, 32), seed=0, k=1)
+    target = jnp.roll(moving, 3, axis=2)
+    got = pa_rigid_params(moving, target)
+    np.testing.assert_allclose(np.asarray(got[:3]), np.zeros(3), atol=1e-5)
+    com = com_rigid_params(moving, target)
+    np.testing.assert_allclose(
+        np.asarray(got[3:]), np.asarray(com[3:]), atol=1e-3
+    )
+
+
+def test_pa_2d_rotation():
+    moving = _aniso_volume((64, 64))
+    true_p = jnp.asarray([0.2, 0.1, -0.08], jnp.float32)
+    target = warp_affine(rigid_theta(true_p)[None], moving)
+    got = pa_rigid_params(moving, target)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(true_p), atol=0.05
+    )
+
+
+@pytest.mark.slow  # 3D engine build (smoke keeps the closed-form PA tests)
+def test_cascade_moment_init_pa():
+    """moment_init='pa' traces inside the jitted cascade and registers a
+    rotated anisotropic pair."""
+    from torchregister_tpu.engines.cascade import make_cascade_fn
+
+    moving = _aniso_volume((32, 32, 32))
+    true_p = jnp.asarray([0.12, -0.1, 0.08, 0.25, -0.15, 0.2], jnp.float32)
+    target = warp_affine(rigid_theta(true_p)[None], moving)
+    fn = make_cascade_fn(
+        stages=("rigid",), levels=2, rigid_epochs=30, rigid_lr=3e-3,
+        criterions=("mse",), optimizer="adam", moment_init="pa",
+        matrix_patience=5, matrix_stop_rel=1e-4,
+    )
+    res = fn(moving, target)
+    r0 = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
+    r1 = float(jnp.sqrt(jnp.mean((res.warped - target) ** 2)))
+    assert r1 < 0.1 * r0
 
 
 def test_bf16_unet_large_volume_refused():

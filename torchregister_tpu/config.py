@@ -158,8 +158,10 @@ class CascadeConfig:
     matrix_levels: Optional[int] = None  # rigid/affine on the coarsest N levels
     matrix_optimizer: Optional[str] = None  # None -> `optimizer`; 'lm' = damped
     # Newton on the 6/12-param matrix stages (engines/second_order.py)
-    moment_init: bool = False  # closed-form CoM translation init for the
-    # coarsest rigid level (ops/moments.py; the bench recipe enables it)
+    moment_init: bool | str = False  # closed-form init for the coarsest
+    # rigid level (ops/moments.py; the bench recipe enables it): True/'com' =
+    # center-of-mass translation, 'pa' = + principal-axes rotation (falls
+    # back to CoM when the eigenframe is unobservable)
     flow_model: str = "field"  # default: direct dense-field flow stage (97%
     # deformable-truth recovery vs the U-Net parity path's 54-76%, BASELINE.md);
     # 'unet' = reference-parity mode (warpings.py:178-242)

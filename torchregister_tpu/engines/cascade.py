@@ -155,7 +155,7 @@ def register_cascade(
     matrix_patience: int = 25,
     matrix_levels: int | None = None,
     matrix_optimizer: str | None = None,
-    moment_init: bool = False,
+    moment_init: bool | str = False,
     flow_model: str = "field",
     flow_smooth=None,
     flow_stop_rel: float | None = None,
@@ -201,8 +201,11 @@ def register_cascade(
     stages' optimizer independently of the flow stage — ``'lm'`` runs damped
     Newton (engines/second_order.py) on the 6/12-parameter matrix problems,
     where ``rigid_epochs``/``affine_epochs`` then count LM iterations.
-    ``moment_init=True`` seeds the coarsest rigid level with the closed-form
-    center-of-mass translation (ops/moments.py) instead of identity.
+    ``moment_init=True`` (or ``'com'``) seeds the coarsest rigid level with
+    the closed-form center-of-mass translation (ops/moments.py) instead of
+    identity; ``'pa'`` additionally matches the principal-axes rotation
+    (covariance eigenframes, skewness-disambiguated), falling back to CoM
+    on near-isotropic/symmetric volumes where the frame is unobservable.
     """
     moving = jnp.asarray(moving, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -266,12 +269,18 @@ def register_cascade(
             base = _level_warp(theta, mov_l, exact=False) if i else mov_l
             init_params = None
             if i == 0 and moment_init:
-                # Closed-form center-of-mass translation init (ops/moments.py):
-                # one fused reduction pass per volume; the iterative stage then
-                # starts with the bulk shift already matched.
-                from ..ops.moments import com_rigid_params
+                # Closed-form moment init (ops/moments.py): fused reduction
+                # passes per volume; the iterative stage then starts with the
+                # bulk shift (and, for 'pa', the principal-axes rotation)
+                # already matched. moment_init=True/'com' -> CoM translation;
+                # 'pa' -> principal axes + CoM (falls back to CoM on
+                # near-isotropic/symmetric volumes).
+                from ..ops.moments import com_rigid_params, pa_rigid_params
 
-                init_params = com_rigid_params(base, tgt_l)
+                if moment_init == "pa":
+                    init_params = pa_rigid_params(base, tgt_l)
+                else:
+                    init_params = com_rigid_params(base, tgt_l)
             _, res = rigid_register(
                 base, tgt_l, lr=rigid_lr, epochs=budgets[i],
                 criterions=list(criterions), weights=weights, grad_edges=False,
