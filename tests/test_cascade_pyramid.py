@@ -152,3 +152,69 @@ def test_cascade_matrix_levels_rejects_nonpositive():
                 moving, moving, stages=("rigid",), levels=2, rigid_epochs=2,
                 criterions=("mse",), matrix_levels=bad,
             )
+
+
+def test_compose_flows_separable_matches_gather_on_smooth_fields():
+    """compose_flows_separable == compose_flows up to the sweep's O(h^2)
+    smoothness term: exact for fields constant along each swept axis
+    (integer-shift case below), close for smooth fields."""
+    from torchregister_tpu.utils.pyramid import compose_flows_separable
+
+    src_shape = (1, 2, 12, 12)
+    f1 = jnp.zeros(src_shape).at[:, 0].set(1.0)
+    f2 = jnp.zeros(src_shape).at[:, 0].set(2.0)
+    exact = compose_flows(f1, f2)
+    sep = compose_flows_separable(f1, f2, max_disp=3)
+    np.testing.assert_allclose(
+        np.asarray(sep[:, :, :8]), np.asarray(exact[:, :, :8]), atol=1e-5
+    )
+
+
+def test_cascade_flow_rebase_matches_warmstart_quality():
+    """flow_rebase=True (field mode): fine levels optimize a small-window
+    residual over a once-rebased input; the recovered registration quality
+    must match the total-field warm-start path on a smooth deformation."""
+    import jax
+
+    moving = _blob((40, 40), seed=3)
+    zz, yy = np.meshgrid(
+        np.linspace(0, 2 * np.pi, 40), np.linspace(0, 2 * np.pi, 40),
+        indexing="ij",
+    )
+    fl = np.stack(
+        [2.0 * np.sin(zz) * np.cos(yy), -2.0 * np.cos(zz) * np.sin(yy)]
+    ).astype(np.float32)[None]
+    target = warp_flow(moving, jnp.asarray(fl))
+    base = dict(
+        stages=("flow",), levels=2, flow_levels=2, flow_epochs=80,
+        flow_model="field", flow_lr=0.3, optimizer="adam",
+        criterions=("mse",), flow_max_disp=4, flow_smooth=(0.3, 0.15),
+    )
+    rmses = {}
+    for rb in (False, True):
+        res = register_cascade(
+            moving, target, flow_rebase=rb, flow_residual_disp=2, **base
+        )
+        assert res.flow.shape == (1, 2, 40, 40)
+        rmses[rb] = float(jnp.sqrt(jnp.mean((res.warped - target) ** 2)))
+    base_rmse = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
+    # both paths register well; rebase within 1.5x of warm-start residual
+    assert rmses[False] < 0.5 * base_rmse
+    assert rmses[True] < max(1.5 * rmses[False], 0.5 * base_rmse)
+
+
+def test_cascade_flow_rebase_validation():
+    import pytest
+
+    moving = _blob((24, 24))
+    with pytest.raises(ValueError, match="flow_rebase"):
+        register_cascade(
+            moving, moving, stages=("flow",), levels=1, flow_epochs=2,
+            criterions=("mse",), flow_model="unet", flow_rebase=True,
+        )
+    with pytest.raises(ValueError, match="flow_residual_disp"):
+        register_cascade(
+            moving, moving, stages=("flow",), levels=1, flow_epochs=2,
+            criterions=("mse",), flow_model="field", flow_rebase=True,
+            flow_residual_disp=0,
+        )

@@ -32,7 +32,12 @@ from ..ops.resize import downsample_avg
 from ..ops.separable import _warp_affine_separable as warp_affine_separable
 from ..ops.separable import warp_flow_separable
 from ..ops.transforms import compose_theta, identity_theta
-from ..utils.pyramid import build_pyramid, compose_flows, upsample_flow
+from ..utils.pyramid import (
+    build_pyramid,
+    compose_flows,
+    compose_flows_separable,
+    upsample_flow,
+)
 from .affine import affine_register
 from .flow import flow_register
 from .rigid import rigid_register
@@ -163,6 +168,8 @@ def register_cascade(
     flow_compose: bool = True,
     flow_levels: int | None = None,
     flow_criterions=None,
+    flow_rebase: bool = False,
+    flow_residual_disp: int = 4,
 ) -> CascadeResult:
     """Coarse-to-fine rigid→affine→flow registration of one pair.
 
@@ -196,6 +203,25 @@ def register_cascade(
     >= 8 voxels per axis); ``flow_criterions`` (default: ``criterions``)
     overrides the similarity stack for the flow stage only (e.g. ``('lncc',)``
     where locally-normalized gradients help the fine field).
+
+    ``flow_rebase=True`` (field mode only) restructures the finer flow levels
+    as *residual* fields: each level first warps its input once with the
+    upsampled total field (window ``flow_max_disp`` — the same bound the
+    warm-start path enforces), then optimizes a zero-initialized residual
+    under the much smaller ``flow_residual_disp`` window, and composes
+    ``total <- residual ∘ total``. The hot fine-level sweep shrinks from
+    ``2*flow_max_disp+1`` to ``2*flow_residual_disp+1`` terms per axis per
+    step for the price of one extra full-window warp + one small-window
+    compose per level. The recoverable deformation contract is unchanged
+    (``flow_max_disp`` full-res voxels); per-level *corrections* beyond
+    ``flow_residual_disp`` voxels are out of window.
+
+    Measured (r5, benchmarks/tune_rebase.py, bench recipe at 240³): a
+    QUALITY lever, not a speed one — deform-gate 97.93→98.14% and
+    observable field error 0.429→0.386 vox (rd=3/4/5 identical), but
+    0.223→0.39-0.44 s per cascade: each zero-init residual restarts the
+    fine level's plateau trajectory, so executed steps grow more than the
+    smaller window saves. Default off.
 
     ``matrix_optimizer`` (default: ``optimizer``) selects the rigid/affine
     stages' optimizer independently of the flow stage — ``'lm'`` runs damped
@@ -336,6 +362,16 @@ def register_cascade(
                 f"flow_levels must be >= 1 (got {flow_levels}): the flow "
                 "stage needs at least one pyramid level"
             )
+        if flow_rebase and flow_model != "field":
+            raise ValueError(
+                "flow_rebase=True requires flow_model='field' (unet mode "
+                "already composes residuals via flow_compose)"
+            )
+        if flow_rebase and not 1 <= flow_residual_disp <= flow_max_disp:
+            raise ValueError(
+                f"flow_residual_disp must be in [1, flow_max_disp="
+                f"{flow_max_disp}] (got {flow_residual_disp})"
+            )
         # Clamp the depth so the coarsest level keeps >= 8 voxels per axis —
         # deeper pyramids would build degenerate levels the warp can't use.
         import math
@@ -370,11 +406,24 @@ def register_cascade(
             zip(zip(f_pyr_in, f_pyr_tgt), budgets)
         ):
             base_in = f_in
+            level_disp = flow_max_disp
             if flow_model == "field" and params is not None:
                 # Field-mode warm start: the params ARE the flow — upsample
                 # (with voxel-unit rescale) to the next level's grid and keep
                 # optimizing the same total field.
                 params = upsample_flow(params, f_in.shape[2:])
+                if flow_rebase:
+                    # Residual rebase: spend ONE full-window warp to bake the
+                    # total-so-far into the level input, then optimize a
+                    # zero-init residual under the small window — the hot
+                    # per-step sweep shrinks from 2*flow_max_disp+1 to
+                    # 2*flow_residual_disp+1 terms per axis (docstring above).
+                    total_flow = params
+                    base_in = warp_flow_separable(
+                        f_in, total_flow, max_disp=flow_max_disp
+                    )
+                    params = None
+                    level_disp = flow_residual_disp
             elif flow_model == "unet" and flow_compose and total_flow is not None:
                 # U-Net residual COMPOSITION (vs the r2 weight warm-start):
                 # warp the level input with the flow recovered so far and fit
@@ -401,7 +450,7 @@ def register_cascade(
                 depth=flow_depth, optimizer=optimizer,
                 key=jax.random.key(seed), dtype=flow_dtype,
                 init_params=params, remat=flow_remat,
-                max_disp=flow_max_disp,
+                max_disp=level_disp,
                 use_attention=flow_attention, use_norm=flow_norm,
                 flow_model=flow_model, smooth=smooths[li],
                 stop_rel=flow_stop_rel, patience=flow_patience,
@@ -419,6 +468,18 @@ def register_cascade(
                     fres.flow if total_flow is None
                     else compose_flows(total_flow, fres.flow)
                 )
+            elif flow_model == "field" and flow_rebase and total_flow is not None:
+                # Fold the residual back into the running total (same
+                # "applied total, then residual" order as the unet branch) so
+                # the next level's warm start — and the final warp — see the
+                # composite field. Separable compose: the resample
+                # displacement is the residual itself, so the small window
+                # suffices (an element-gather compose would cost ~0.4 s at
+                # 240^3 — more than the whole flow stage).
+                total_flow = compose_flows_separable(
+                    total_flow, fres.flow, max_disp=flow_residual_disp
+                )
+                params = total_flow
             losses.append(fres.losses)
         flow = total_flow if total_flow is not None else fres.flow
         flow_losses = jnp.concatenate(losses)
@@ -428,11 +489,16 @@ def register_cascade(
         # each coarser level's contribution doubles per upsample (r4 ADVICE —
         # under make_cascade_fn the end-of-run overflow check is a tracer
         # no-op, so windows must be sized statically).
-        comp = (
-            2 ** (flow_levels - 1)
-            if (flow_model == "unet" and flow_compose)
-            else 1
-        )
+        if flow_model == "unet" and flow_compose:
+            final_bound = flow_max_disp * scale * 2 ** (flow_levels - 1)
+        elif flow_model == "field" and flow_rebase:
+            # Composed total: coarse full-window field + one small-window
+            # residual per finer level, all in flow-grid voxels.
+            final_bound = (
+                flow_max_disp + flow_residual_disp * (flow_levels - 1)
+            ) * scale
+        else:
+            final_bound = flow_max_disp * scale
         if final_warp == "exact":
             from ..ops.blocked import warp_flow_fast
 
@@ -440,9 +506,7 @@ def register_cascade(
         else:
             # The upsampled flow's magnitudes scale with the zoom — the final
             # sweep window must too, or large displacements get zeroed.
-            warped = warp_flow_separable(
-                warped, flow, max_disp=flow_max_disp * scale * comp
-            )
+            warped = warp_flow_separable(warped, flow, max_disp=final_bound)
 
     # One end-of-run overflow check for the eager path (a single host sync,
     # instead of the per-level checks the inner engine calls skip): warn if
@@ -459,7 +523,7 @@ def register_cascade(
             import warnings
 
             maxd = float(jnp.max(jnp.abs(flow)))
-            bound = flow_max_disp * scale * comp
+            bound = final_bound
             if maxd > bound:
                 warnings.warn(
                     f"register_cascade: recovered flow reaches {maxd:.1f} "

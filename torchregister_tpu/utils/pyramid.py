@@ -51,3 +51,17 @@ def compose_flows(first: jnp.ndarray, second: jnp.ndarray) -> jnp.ndarray:
     """
     warped_first = warp_flow(first, second)
     return second + warped_first
+
+
+def compose_flows_separable(
+    first: jnp.ndarray, second: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """:func:`compose_flows` via the separable sweep warp instead of the
+    element gather (XLA gather ≈ 1.1e8 elem/s on v5e — ~0.4 s for a 3-channel
+    240³ compose; the sweep is milliseconds). The resample displacement is
+    ``second`` itself, so ``max_disp`` need only bound **the outer field's**
+    magnitude (e.g. the residual window in field-rebase mode), not the
+    composed total. Jit-safe (static window)."""
+    from ..ops.separable import warp_flow_separable
+
+    return second + warp_flow_separable(first, second, max_disp=max_disp)
