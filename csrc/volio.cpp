@@ -135,15 +135,21 @@ void parallel_for(int64_t n, int nthreads, const std::function<void(int64_t, int
 extern "C" {
 
 // Read only the shape/dtype: fills shape_out[0..7] and ndim. Returns 0 on ok.
+// Reads just the 348-byte header — NOT the whole file: the shape probe runs
+// before every volume read, and inflating a multi-hundred-MB .nii.gz twice
+// per load would halve staging throughput.
 int volio_nifti_shape(const char* path, int64_t* shape_out, int* ndim_out) {
-  std::vector<uint8_t> buf;
-  if (!read_all(path, buf) || buf.size() < sizeof(Nifti1Header)) return -1;
-  const Nifti1Header* h = reinterpret_cast<const Nifti1Header*>(buf.data());
-  if (h->sizeof_hdr != 348) return -2;
-  int nd = h->dim[0];
+  Nifti1Header hdr;
+  gzFile f = gzopen(path, "rb");
+  if (!f) return -1;
+  int got = gzread(f, &hdr, sizeof(hdr));
+  gzclose(f);
+  if (got != static_cast<int>(sizeof(hdr))) return -1;
+  if (hdr.sizeof_hdr != 348) return -2;
+  int nd = hdr.dim[0];
   if (nd < 1 || nd > 7) return -3;
   *ndim_out = nd;
-  for (int i = 0; i < nd; ++i) shape_out[i] = h->dim[i + 1];
+  for (int i = 0; i < nd; ++i) shape_out[i] = hdr.dim[i + 1];
   return 0;
 }
 
@@ -183,6 +189,10 @@ int volio_read_nifti(const char* path, float* out, int64_t n) {
 int volio_write_nifti(const char* path, const float* data, const int64_t* shape,
                       int ndim) {
   if (ndim < 1 || ndim > 7) return -1;
+  // NIfTI-1 dims are int16: silently truncating through the cast would write
+  // a corrupt header under a full-size data payload.
+  for (int i = 0; i < ndim; ++i)
+    if (shape[i] < 1 || shape[i] > 32767) return -1;
   Nifti1Header h;
   std::memset(&h, 0, sizeof(h));
   h.sizeof_hdr = 348;

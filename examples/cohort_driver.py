@@ -72,6 +72,12 @@ def main(argv=None) -> int:
 
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev,), ("data",)) if n_dev > 1 else None
+    if mesh is not None and args.batch % n_dev:
+        raise SystemExit(
+            f"--batch {args.batch} is not divisible by the {n_dev}-device "
+            "data mesh — the batch axis shards over all devices (pick a "
+            f"multiple of {n_dev})"
+        )
     movings, targets, trues = cohort(args.batch, (args.size,) * 2)
     print(f"cohort of {args.batch} pairs at {args.size}^2 over {n_dev} device(s)")
 

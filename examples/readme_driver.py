@@ -16,6 +16,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+# Honor JAX_PLATFORMS=cpu BEFORE importing jax: the axon site hook force-sets
+# jax_platforms=axon,cpu at import, overriding the env var (CLAUDE.md) — the
+# same guard cohort_driver.py applies.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 import torchregister_tpu as tr
@@ -99,7 +107,16 @@ def main():
         from torchregister_tpu.utils.volio import read_volume
 
         vol = read_volume(args.nifti)
-        vol = vol[tuple(slice(0, min(s, 160)) for s in vol.shape[:3])]
+        # Real NIfTI files commonly store 3D volumes as 4D with nt=1;
+        # squeeze trailing singletons so the crop/theta dims agree.
+        while vol.ndim > args.dim and vol.shape[-1] == 1:
+            vol = vol[..., 0]
+        if vol.ndim != args.dim:
+            raise SystemExit(
+                f"{args.nifti}: {vol.ndim}D volume but --dim {args.dim} "
+                "(pass --dim matching the file)"
+            )
+        vol = vol[tuple(slice(0, min(s, 160)) for s in vol.shape)]
     else:
         vol = phantom((args.size,) * args.dim)
 
@@ -127,9 +144,11 @@ def main():
     warping2.optim(warped, target, lr=1e-3, max_epochs=200)
     warped = warping2(warped)
 
-    # --- dense flow (README.md:81-88)
+    # --- dense flow (README.md:81-88). lr=None resolves per flow model
+    # (0.3 for the default direct field — Adam steps are in voxel units;
+    # lr=1e-3 there moves the field <0.1 voxel in 100 epochs).
     warping3 = tr.Register(mode="flow", optimizer="adam")
-    warping3.optim(warped, target, lr=1e-3, max_epochs=100, n=32)
+    warping3.optim(warped, target, max_epochs=100, n=32)
     warped = warping3(warped)
     flow_mag = tr.norm(jnp.abs(warping3.theta))  # README.md:90 idiom
 

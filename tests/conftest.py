@@ -7,16 +7,19 @@ on a forced 8-device CPU mesh per the driver contract. Must run before any
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-# Keep torch (test oracle) single-threaded and deterministic.
+# Force EXACTLY 8 virtual devices: a pre-existing flag with a different count
+# would silently break every sharding/mesh test's 8-device contract.
+flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if not f.startswith("--xla_force_host_platform_device_count")
+]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
+# Bound the torch oracle's threading (2 threads: bounded oversubscription on
+# this 1-CPU host; not fully single-threaded).
 os.environ.setdefault("OMP_NUM_THREADS", "2")
 
-# Persistent compilation cache: most test time is XLA compiles of the same
-# shapes; cache them across runs.
 import jax  # noqa: E402
 
 # A site hook in this image force-updates jax_platforms to "axon,cpu" at jax

@@ -314,3 +314,14 @@ def test_warp_affine_supertile_stile_variants(stile):
     ours = warp_affine_supertile(theta, moving, plan=plan)
     ref = warp_affine(theta, moving)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=5e-5)
+
+
+def test_warp_flow_fast_rejects_batch_mismatch():
+    """A flow batch wider than src was silently truncated to flow[0] pre-fix
+    (the exact fallback raised a vmap mismatch instead) — both now raise."""
+    import pytest
+
+    src = jnp.zeros((1, 1, 16, 16, 16))
+    flow = jnp.zeros((2, 3, 16, 16, 16))
+    with pytest.raises(ValueError, match="flow batch"):
+        warp_flow_fast(src, flow, max_disp=2)

@@ -218,3 +218,48 @@ def test_cascade_flow_rebase_validation():
             criterions=("mse",), flow_model="field", flow_rebase=True,
             flow_residual_disp=0,
         )
+
+
+def test_cascade_flow_smooth_tuple_survives_level_clamp():
+    """A flow_smooth tuple sized to the REQUESTED flow_levels must not raise
+    when the small-volume depth clamp shrinks the level count: the clamped
+    pyramid keeps its finest levels, so the tuple's finest entries apply."""
+    moving = _blob((12, 12))
+    res = register_cascade(
+        moving, moving, stages=("flow",), levels=1, flow_levels=2,
+        flow_epochs=2, criterions=("mse",), flow_model="field",
+        flow_smooth=(0.5, 0.25), optimizer="adam", flow_lr=0.3,
+    )
+    assert res.flow.shape == (1, 2, 12, 12)
+
+
+def test_cascade_moment_init_rejects_unknown_mode():
+    """A typo like 'PA' must raise, not silently fall back to CoM-only."""
+    moving = _blob((24, 24))
+    with pytest.raises(ValueError, match="moment_init"):
+        register_cascade(
+            moving, moving, stages=("rigid",), levels=1, rigid_epochs=2,
+            criterions=("mse",), moment_init="PA",
+        )
+
+
+def test_cascade_batch_spatial_axis_requires_mesh():
+    from torchregister_tpu.engines.cascade import make_cascade_batch_fn
+
+    with pytest.raises(ValueError, match="spatial_axis requires a mesh"):
+        make_cascade_batch_fn(spatial_axis=0, stages=("rigid",))
+
+
+def test_cascade_flow_rebase_three_levels():
+    """3-level rebase: per-level rebase windows and the final bound follow the
+    worst-case doubling model (pre-fix the li=2 one-shot warp and the final
+    sweep window were undersized and would zero large displacements)."""
+    moving = _blob((48, 48), seed=5)
+    res = register_cascade(
+        moving, moving, stages=("flow",), levels=3, flow_levels=3,
+        flow_epochs=6, criterions=("mse",), flow_model="field",
+        flow_lr=0.3, optimizer="adam", flow_max_disp=4,
+        flow_smooth=(0.3, 0.2, 0.1), flow_rebase=True, flow_residual_disp=2,
+    )
+    assert res.flow.shape == (1, 2, 48, 48)
+    assert np.isfinite(np.asarray(res.flow)).all()

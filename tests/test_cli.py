@@ -81,3 +81,43 @@ def test_cli_register_flow_and_apply_roundtrip(pair, capsys):
     assert main(["apply", mp, tr_path, "-o", applied]) == 0
     np.testing.assert_allclose(read_volume(applied), read_volume(out),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_cli_save_transform_without_npz_suffix(pair):
+    """--save-transform without .npz: the CLI must report the real filename
+    (np.savez appends the suffix) and apply must work on it."""
+    mp, tp, tmp = pair
+    trf = str(tmp / "bare_transform")
+    rc = main(["register", mp, tp, "--mode", "rigid", "--epochs", "4",
+               "--criterion", "mse", "--save-transform", trf])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(trf + ".npz")
+    out = str(tmp / "ap.nii")
+    assert main(["apply", mp, trf + ".npz", "-o", out]) == 0
+
+
+def test_cli_transform_carries_mode_manifest(pair):
+    """CLI-written transforms must record 'mode' so load_transform's
+    misapply guard works on them (pre-fix they had no manifest)."""
+    mp, tp, tmp = pair
+    trf = str(tmp / "moded.npz")
+    rc = main(["register", mp, tp, "--mode", "rigid", "--epochs", "4",
+               "--criterion", "mse", "--save-transform", trf])
+    assert rc == 0
+    from torchregister_tpu.utils.io import load_pytree
+
+    assert str(load_pytree(trf)["mode"]) == "rigid"
+
+
+def test_cli_accepts_trailing_singleton_4d(pair, tmp_path):
+    """NIfTI volumes stored as (X,Y,1) / (X,Y,Z,1) must be accepted."""
+    mp, tp, tmp = pair
+    v = read_volume(mp)
+    mp4 = str(tmp_path / "m4.nii")
+    write_volume(mp4, v[..., None])
+    out = str(tmp_path / "w4.nii")
+    rc = main(["register", mp4, tp, "--mode", "rigid", "--epochs", "4",
+               "--criterion", "mse", "-o", out])
+    assert rc == 0

@@ -91,3 +91,16 @@ def test_edge_filter_2d_runs():
     assert out.shape == (1, 1, 16, 16)
     assert set(np.unique(np.asarray(out))).issubset({0.0, 1.0})
     assert sobel_kernels_2d().shape == (4, 3, 3)
+
+
+def test_edge_filter_batch_samples_independent():
+    """Per-sample min-max norm: one high-dynamic-range volume in the batch
+    must not compress the other samples' gradients below threshold (the
+    reference only ever normalizes a single volume — per-sample IS its
+    semantics batched)."""
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.random((1, 1, 20, 20), dtype=np.float32))
+    b = a * 1000.0  # huge-range companion sample
+    solo = edge_filter(a)
+    batched = edge_filter(jnp.concatenate([a, b]))
+    np.testing.assert_array_equal(np.asarray(solo[0]), np.asarray(batched[0]))

@@ -266,3 +266,51 @@ def test_nmi_loss_gradient_binned_matches_exact():
     interior = (vals > vals.min()) & (vals < vals.max())
     assert np.max(err[interior]) < 0.02, np.max(err[interior])
     assert np.sqrt(np.mean(err[interior] ** 2)) < 0.005
+
+
+def test_nmi_loss_bf16_inputs_match_f32():
+    """NMI must upcast to f32 internally: bf16 kernel-sum reductions lose the
+    density entirely (measured pre-fix: loss off by 4-5 orders, gradient
+    cosine ~0 vs f32). Reachable via matrix_dtype='bfloat16' + the reference
+    default criterion stack."""
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.random((1, 1, 24, 24), dtype=np.float32))
+    b = jnp.asarray(rng.random((1, 1, 24, 24), dtype=np.float32))
+    lf32 = float(nmi_loss(a, b))
+    lbf16 = float(nmi_loss(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)))
+    # identical up to the bf16 input quantization itself
+    assert abs(lbf16 - lf32) < 0.05 * max(abs(lf32), 1.0)
+
+
+def test_get_pdf_rejects_unknown_method():
+    import pytest
+
+    from torchregister_tpu.losses.nmi import get_pdf
+
+    with pytest.raises(ValueError, match="method"):
+        get_pdf(jnp.zeros((1, 64)), method="binnedd")
+
+
+def test_lncc_bf16_inputs_match_f32():
+    """lncc must upcast like every other loss: bf16 box-filter moment sums
+    lose the windows (measured pre-fix: 15% off + a dtype TypeError when the
+    scalar reached the f32 loss history)."""
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((1, 1, 32, 32), dtype=np.float32))
+    b = jnp.asarray(rng.random((1, 1, 32, 32), dtype=np.float32))
+    lf32 = float(lncc(a, b))
+    lbf16 = float(lncc(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)))
+    assert jnp.asarray(lncc(a.astype(jnp.bfloat16), b)).dtype == jnp.float32
+    assert abs(lbf16 - lf32) < 0.05 * max(abs(lf32), 1.0)
+
+
+def test_lncc_offset_invariant():
+    """One-pass moments cancel catastrophically on a large DC offset unless
+    the inputs are globally centered first (pre-fix: uncorrelated noise at
+    offset 1000 scored lncc=26 instead of ~100)."""
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.random((1, 1, 32, 32), dtype=np.float32))
+    b = jnp.asarray(rng.random((1, 1, 32, 32), dtype=np.float32))
+    base = float(lncc(a, b))
+    shifted = float(lncc(a + 1000.0, b + 1000.0))
+    assert abs(shifted - base) < 0.02 * abs(base)

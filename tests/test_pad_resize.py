@@ -77,3 +77,23 @@ def test_downsample_avg_matches_torch():
     ours = np.asarray(downsample_avg(jnp.asarray(x), 2))
     ref = F.avg_pool2d(torch.from_numpy(x), 2, 2).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_nearest_resize_preserves_dtype():
+    """torch F.interpolate preserves dtype; the one-hot matmul must cast back
+    (a bf16 network's gate maps must stay bf16 — pre-fix they silently
+    promoted to f32)."""
+    x16 = jnp.arange(16, dtype=jnp.bfloat16).reshape(1, 1, 4, 4)
+    y = nearest_resize(x16, (8, 8))
+    assert y.dtype == jnp.bfloat16
+    xi = jnp.arange(16, dtype=jnp.int32).reshape(1, 1, 4, 4)
+    yi = nearest_resize(xi, (2, 2))
+    assert yi.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(yi), [[[[0, 2], [8, 10]]]])
+
+
+def test_nearest_resize_rejects_rank_mismatch():
+    import pytest
+
+    with pytest.raises(ValueError, match="out_spatial"):
+        nearest_resize(jnp.zeros((1, 1, 4, 4, 4)), (8, 8))

@@ -299,3 +299,15 @@ def test_flow_engine_space_sharded_full_optimization():
     assert any(
         op in hlo for op in ("collective-permute", "all-gather", "all-to-all")
     ), "expected halo collectives in space-sharded flow engine HLO"
+
+
+def test_register_cohort_init_validation():
+    """Unknown init strings silently meant 'random' for rigid (and were
+    silently ignored for affine/flow) pre-fix — both now raise."""
+    movings = jnp.zeros((2, 1, 16, 16))
+    with pytest.raises(ValueError, match="init must be"):
+        register_cohort(movings, movings, mode="rigid", epochs=1,
+                        criterions=["mse"], init="Identity")
+    with pytest.raises(ValueError, match="only meaningful"):
+        register_cohort(movings, movings, mode="affine", epochs=1,
+                        criterions=["mse"], init="random")

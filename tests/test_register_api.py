@@ -207,3 +207,42 @@ def test_debug_preflight_raises_on_nan_input_with_nmi():
     reg = tr.Register(mode="rigid", criterion=None, debug=True, init="identity")
     with pytest.raises(Exception, match="non-finite"):
         reg.optim(bad, moving, lr=1e-5, max_epochs=1)
+
+
+def test_load_transform_rejects_cascade_composite(tmp_path):
+    """A CLI cascade transform (theta AND flow) must not load into a Register
+    — either half alone would silently produce a wrong warp."""
+    from torchregister_tpu.utils.io import load_transform, save_pytree
+
+    p = str(tmp_path / "casc.npz")
+    save_pytree(p, {"mode": np.asarray("cascade"),
+                    "theta": np.zeros((1, 2, 3), np.float32),
+                    "flow": np.zeros((1, 2, 8, 8), np.float32)})
+    with pytest.raises(ValueError, match="composite cascade"):
+        load_transform(p, tr.Register(mode="flow"))
+
+
+def test_load_transform_infers_mode_from_keys(tmp_path):
+    """Mode-less files (older, or hand-built) must still hit the misapply
+    guard: a flow payload cannot load into a rigid Register (pre-fix the
+    check was silently skipped when 'mode' was absent)."""
+    from torchregister_tpu.utils.io import load_transform, save_pytree
+
+    p = str(tmp_path / "nomode.npz")
+    save_pytree(p, {"flow": np.zeros((1, 2, 8, 8), np.float32)})
+    with pytest.raises(ValueError, match="misapply"):
+        load_transform(p, tr.Register(mode="rigid"))
+    reg = tr.Register(mode="flow")
+    load_transform(p, reg)
+    assert reg.theta.shape == (1, 2, 8, 8)
+
+
+def test_save_pytree_normalizes_npz_suffix(tmp_path):
+    """np.savez silently appends .npz — save_pytree must report the real
+    filename so a later load doesn't FileNotFoundError."""
+    from torchregister_tpu.utils.io import load_pytree, save_pytree
+
+    p = str(tmp_path / "bare")
+    written = save_pytree(p, {"x": np.ones(3, np.float32)})
+    assert written.endswith(".npz")
+    assert load_pytree(written)["x"].shape == (3,)

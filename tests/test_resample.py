@@ -160,3 +160,32 @@ def test_normalized_grid_conventions():
     np.testing.assert_allclose(g[:, 0], (2 * np.arange(4) + 1) / 4 - 1, atol=1e-6)
     g = np.asarray(normalized_grid((4,), align_corners=True))
     np.testing.assert_allclose(g[:, 0], 2 * np.arange(4) / 3 - 1, atol=1e-6)
+
+
+def test_grid_sample_bf16_grid_promotes_before_denorm():
+    """A bf16 grid must be promoted BEFORE the normalized->index arithmetic:
+    ((x+1)*S-1)/2 in bf16 has ulp ~1-2 voxels at S~200 (pre-fix: max error
+    ~0.95 vs the f32 grid)."""
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.random((1, 1, 200, 8), dtype=np.float32))
+    grid = normalized_grid((200, 8))[None] + 0.001
+    out_f32 = grid_sample(src, grid)
+    out_bf16 = grid_sample(src, grid.astype(jnp.bfloat16))
+    # bf16 QUANTIZES the normalized coords themselves (ulp ~0.004 near 1.0
+    # -> ~0.4 voxel at S=200); the fix only guarantees no FURTHER loss from
+    # doing the denorm arithmetic in bf16 (pre-fix error was ~2.4x larger)
+    err = float(jnp.max(jnp.abs(out_f32 - out_bf16)))
+    assert err < 0.45, err
+
+
+def test_warp_flow_bf16_flow_subvoxel_displacements():
+    """Sub-voxel bf16 displacements at coordinates >=128 must not be rounded
+    away (bf16 index ulp is 1.0 there; pre-fix: max error ~0.24)."""
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.random((1, 1, 200, 8), dtype=np.float32))
+    flow = jnp.full((1, 2, 200, 8), 0.25, jnp.float32)
+    out_f32 = warp_flow(src, flow)
+    out_bf16 = warp_flow(src, flow.astype(jnp.bfloat16))
+    err = float(jnp.max(jnp.abs(out_f32[:, :, :199, :7]
+                                - out_bf16[:, :, :199, :7])))
+    assert err < 1e-2, err

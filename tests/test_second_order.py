@@ -295,3 +295,17 @@ def test_flow_levels_validation():
         flow_epochs=4, criterions=("mse",), flow_max_disp=2,
     )
     assert res.flow is not None and np.isfinite(np.asarray(res.flow)).all()
+
+
+def test_bf16_unet_guard_allows_2d():
+    """Guard specificity: the probed crash is a 3D-volume workload — a 2D
+    bf16 U-Net at >=160 px must get past the dtype check (other errors OK)."""
+    from torchregister_tpu.engines.flow import flow_register
+
+    moving = jnp.zeros((1, 1, 160, 160), jnp.float32)
+    try:
+        flow_register(moving, moving, flow_model="unet", dtype="bfloat16",
+                      max_epochs=1, criterions=["mse"], n=32, depth=1,
+                      max_disp=2)
+    except ValueError as e:  # pragma: no cover
+        assert "crashes the TPU worker" not in str(e)

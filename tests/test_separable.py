@@ -204,3 +204,15 @@ def test_required_windows_degenerate_capped():
     req = required_windows(theta, (24, 26, 28))
     assert all(isinstance(r, int) for r in req)
     assert tuple(req) == (28, 26, 24)  # pass order x, y, z -> axis extents
+
+
+def test_warp_affine_separable_accepts_list_max_shift():
+    """The advertised Sequence[int] form must not crash on the jitted core's
+    static-argument hashability (a list did, pre-fix)."""
+    theta = rigid_theta(jnp.asarray([0.05, 1.0, -0.5], jnp.float32))[None]
+    vol = jnp.asarray(
+        np.random.default_rng(0).random((1, 1, 24, 24), dtype=np.float32)
+    )
+    out_list = warp_affine_separable(theta, vol, max_shift=[6, 6])
+    out_tuple = warp_affine_separable(theta, vol, max_shift=(6, 6))
+    np.testing.assert_array_equal(np.asarray(out_list), np.asarray(out_tuple))

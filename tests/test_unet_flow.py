@@ -360,3 +360,32 @@ def test_flow_progress_every_prints_and_matches(capsys):
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(r1.losses), np.asarray(r2.losses),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_flow_register_accepts_dtype_class():
+    """dtype=jnp.bfloat16 (the common JAX idiom, a dtype CLASS) must hit the
+    same build cache as dtype='bfloat16' instead of crashing the builder
+    (pre-fix: str(class) reached jnp.dtype and raised TypeError)."""
+    moving, target = _pair_2d()
+    warped, res = flow_register(
+        moving, target, lr=0.3, max_epochs=3, criterions=["mse"],
+        optimizer="adam", flow_model="field", smooth=0.3, max_disp=2,
+        dtype=jnp.bfloat16,
+    )
+    assert res.flow.dtype == jnp.float32
+    assert np.isfinite(np.asarray(res.losses)[:3]).all()
+
+
+def test_flow_register_field_sgd_default_warns():
+    """The unet-parity defaults (sgd, lr=1e-3) are a measured near-no-op on a
+    direct field — the engine must warn instead of failing silently."""
+    import warnings as _w
+
+    moving, target = _pair_2d()
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        flow_register(
+            moving, target, max_epochs=2, criterions=["mse"],
+            flow_model="field", max_disp=2,
+        )
+    assert any("barely moves" in str(r.message) for r in rec)

@@ -21,6 +21,10 @@ def _load(path: str) -> np.ndarray:
     from .utils.volio import read_volume
 
     vol = read_volume(path).astype(np.float32)
+    # Many real NIfTI-1 files store 3D volumes as 4D with nt=1 (dim[0]=4,
+    # trailing singleton) — accept them by squeezing trailing 1-dims.
+    while vol.ndim > 2 and vol.shape[-1] == 1:
+        vol = vol[..., 0]
     if vol.ndim not in (2, 3):
         raise SystemExit(f"{path}: expected a 2D/3D volume, got shape {vol.shape}")
     return vol[None, None]
@@ -37,13 +41,20 @@ def cmd_register(args) -> int:
     if moving.shape != target.shape:
         raise SystemExit(f"shape mismatch: {moving.shape} vs {target.shape}")
 
+    # lr resolution mirrors the measured recipe, NOT one shared value: the
+    # matrix stages want ~1e-3..3e-3 with Adam, while a direct per-voxel
+    # field needs step sizes in voxel units (~0.3; api.py optim note) — a
+    # single 1e-3 forced into the flow stage was a measured near-no-op.
+    matrix_lr = args.lr if args.lr is not None else 3e-3
+    flow_lr = args.flow_lr if args.flow_lr is not None else 0.3
+
     t0 = time.perf_counter()
     if args.mode == "cascade":
         res = tr.register_cascade(
             moving, target, levels=args.levels,
             rigid_epochs=args.epochs, affine_epochs=max(1, args.epochs // 2),
             flow_epochs=max(1, args.epochs // 5),
-            rigid_lr=args.lr, affine_lr=args.lr, flow_lr=args.lr,
+            rigid_lr=matrix_lr, affine_lr=matrix_lr, flow_lr=flow_lr,
             criterions=tuple(args.criterion) if args.criterion else ("mse", "ncc"),
             optimizer=args.optimizer, flow_dtype=args.flow_dtype,
             # exact final warp: the saved transform applied via `apply`
@@ -51,7 +62,8 @@ def cmd_register(args) -> int:
             final_warp="exact",
         )
         warped, theta = res.warped, res.theta
-        transform = {"theta": np.asarray(res.theta)}
+        transform = {"mode": np.asarray("cascade"),
+                     "theta": np.asarray(res.theta)}
         if res.flow is not None:
             transform["flow"] = np.asarray(res.flow)
     else:
@@ -60,13 +72,21 @@ def cmd_register(args) -> int:
             optimizer=args.optimizer, grad_edges=args.grad_edges,
             init="identity",
         )
-        reg.optim(moving, target, lr=args.lr, max_epochs=args.epochs, n=args.n)
+        if args.mode == "flow":
+            # --flow-lr wins; an explicit --lr is still honored (the single-
+            # stage mode has only one lr); neither set -> the api default
+            # (0.3 for field-mode flow)
+            lr = args.flow_lr if args.flow_lr is not None else args.lr
+        else:
+            lr = matrix_lr
+        reg.optim(moving, target, lr=lr, max_epochs=args.epochs, n=args.n)
         warped = reg(moving)
         theta = reg.theta
         # flow mode stores a [1,d,*S] field — save it under the key `apply`
-        # dispatches on (a flow under "theta" would be misapplied as a matrix)
+        # dispatches on (a flow under "theta" would be misapplied as a matrix),
+        # plus the 'mode' manifest load_transform's misapply guard checks
         key = "flow" if args.mode == "flow" else "theta"
-        transform = {key: np.asarray(reg.theta)}
+        transform = {"mode": np.asarray(args.mode), key: np.asarray(reg.theta)}
     elapsed = time.perf_counter() - t0
 
     rmse0 = float(jnp.sqrt(jnp.mean((moving - target) ** 2)))
@@ -80,8 +100,8 @@ def cmd_register(args) -> int:
     if args.save_transform:
         from .utils.io import save_pytree
 
-        save_pytree(args.save_transform, transform)
-        print(f"wrote {args.save_transform}")
+        written = save_pytree(args.save_transform, transform)
+        print(f"wrote {written}")
     return 0
 
 
@@ -124,12 +144,18 @@ def main(argv=None) -> int:
     r.add_argument("--save-transform", help="write transform pytree (.npz)")
     r.add_argument("--epochs", type=int, default=500)
     r.add_argument("--levels", type=int, default=3)
-    r.add_argument("--lr", type=float, default=1e-3)
+    r.add_argument("--lr", type=float, default=None,
+                   help="matrix-stage lr (default 3e-3 for Adam)")
+    r.add_argument("--flow-lr", type=float, default=None,
+                   help="flow-stage lr (default 0.3 — direct-field steps "
+                        "are in voxel units)")
     r.add_argument("--n", type=float, default=8, help="U-Net width divisor")
     r.add_argument("--criterion", nargs="*", help="e.g. mse ncc nmi lncc ssd")
     r.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
     r.add_argument("--grad-edges", action="store_true")
-    r.add_argument("--flow-dtype", default="bfloat16",
+    # float32: bf16 field-stage images measured a net LOSS on the bench
+    # recipe (noisier plateau -> later stop AND lower quality; CLAUDE.md)
+    r.add_argument("--flow-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     r.set_defaults(fn=cmd_register)
 

@@ -32,6 +32,7 @@ and ``method='exact'`` reproduces grid_sample semantics in-loop.
 """
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from typing import Optional
 
 import jax
@@ -243,9 +244,15 @@ class Register:
         from .losses.nmi import nmi_loss, nmi_loss_checkified
 
         crits, _ = resolve_criteria(self.criterion, self.weight)
-        if any(getattr(c, "func", c) is nmi_loss for c in crits):
-            err, _ = nmi_loss_checkified(moving, target)
-            err.throw()
+        for c in crits:
+            if getattr(c, "func", c) is nmi_loss:
+                # Probe with the user's OWN hyperparameters (a partial's
+                # keywords): a custom bandwidth/bins is exactly what makes
+                # the KDE go non-finite, and probing defaults would let a
+                # bad config sail through the preflight.
+                kwargs = getattr(c, "keywords", None) or {}
+                err, _ = nmi_loss_checkified(moving, target, **kwargs)
+                err.throw()
 
     def _report(self):
         """Debug report — the reference's in-loop observability, post-hoc.
@@ -307,10 +314,3 @@ class Register:
         except Exception:
             pass
 
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

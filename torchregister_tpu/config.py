@@ -171,6 +171,10 @@ class CascadeConfig:
     flow_compose: bool = True  # unet mode: per-level residual-flow composition
     flow_levels: Optional[int] = None  # flow mini-pyramid depth (None -> min(2, levels))
     flow_criterions: Any = None  # flow-stage criterion override (None -> criterions)
+    flow_rebase: bool = False  # field mode: optimize fine levels as zero-init
+    # residuals on a once-rebased input (quality lever — measured +0.2 deform
+    # gate points at ~1.8x flow-stage cost; engines/cascade.py docstring)
+    flow_residual_disp: int = 4  # per-level residual sweep window under rebase
 
     def run(self, moving, target, **overrides):
         from .engines.cascade import register_cascade

@@ -90,9 +90,16 @@ def make_cascade_batch_fn(mesh=None, spatial_axis=None, **config):
     batched = _jax.vmap(one)
 
     if mesh is None:
+        if spatial_axis is not None:
+            raise ValueError(
+                "spatial_axis requires a mesh with a 'space' axis — without "
+                "one the batch would run unsharded and silently ignore it"
+            )
         return _jax.jit(batched)
 
     from ..parallel.mesh import batch_sharding, cohort_sharding
+
+    jitted = _jax.jit(batched)  # hoisted: one callable, C++ fastpath dispatch
 
     def run(movings, targets):
         if spatial_axis is None:
@@ -102,7 +109,7 @@ def make_cascade_batch_fn(mesh=None, spatial_axis=None, **config):
                                  spatial_axis=spatial_axis)
         movings = _jax.device_put(movings, sh)
         targets = _jax.device_put(targets, sh)
-        return _jax.jit(batched)(movings, targets)
+        return jitted(movings, targets)
 
     return run
 
@@ -206,9 +213,10 @@ def register_cascade(
 
     ``flow_rebase=True`` (field mode only) restructures the finer flow levels
     as *residual* fields: each level first warps its input once with the
-    upsampled total field (window ``flow_max_disp`` — the same bound the
-    warm-start path enforces), then optimizes a zero-initialized residual
-    under the much smaller ``flow_residual_disp`` window, and composes
+    upsampled total field (one wide-window one-shot warp sized to the
+    worst-case composed magnitude — upsampling doubles voxel magnitudes per
+    level), then optimizes a zero-initialized residual under the much
+    smaller ``flow_residual_disp`` window, and composes
     ``total <- residual ∘ total``. The hot fine-level sweep shrinks from
     ``2*flow_max_disp+1`` to ``2*flow_residual_disp+1`` terms per axis per
     step for the price of one extra full-window warp + one small-window
@@ -260,19 +268,42 @@ def register_cascade(
             f"matrix_levels must be >= 1 (got {matrix_levels}): the matrix "
             "stages need at least the coarsest pyramid level"
         )
+    if moment_init not in (False, True, "com", "pa"):
+        # A typo like 'PA' or 'principal' would otherwise pass the truthiness
+        # checks below and silently run the CoM-only init.
+        raise ValueError(
+            f"moment_init must be False, True, 'com', or 'pa' "
+            f"(got {moment_init!r})"
+        )
     m_levels = levels if matrix_levels is None else min(matrix_levels, levels)
 
     def level_shift(i, mov_l):
         if i == 0:  # coarsest level sees the full initial misalignment
             S = max(mov_l.shape[2:])
-            if moment_init and "rigid" in stages:
+            if moment_init == "pa" and "rigid" in stages:
+                # PA init exists for LARGE-rotation misalignments: a seeded
+                # ~90-degree rotation displaces corner voxels by up to ~S per
+                # axis, far beyond the S/4 near-identity worst case, and
+                # check_window=False means overflow would zero support
+                # silently. S/2+4 covers rotations to ~60-90 degrees;
+                # coarsest level only, and only when 'pa' is requested.
+                # Rotations beyond that need method='exact' or the direct
+                # engines with their init-derived auto windows.
+                return max(residual_shift, S // 2 + 4)
+            if (
+                moment_init and moment_init != "pa" and ndim == 3
+                and "rigid" in stages
+            ):
                 # CoM init pre-matches the bulk translation, so the theta the
                 # coarse level optimizes stays near the init; the sweep still
                 # applies the FULL theta, whose tanh-bounded translation is
                 # <= 0.25 normalized = S/8 voxels — cover that plus rotation
                 # margin instead of the S/4 worst case (the sweep's term
                 # count, not its bytes, is the rigid stage's cost — roofline
-                # r5: 2.2% of HBM peak).
+                # r5: 2.2% of HBM peak). The S/8 bound is the 3D rigid
+                # parameterization's (ops/transforms.py 0.25*tanh); 2D
+                # translations are raw/unbounded and 'pa' seeds large
+                # rotations, so both keep the S/4 worst-case window.
                 return max(residual_shift, S // 8 + 4)
             return max(residual_shift, S // 4)
         return residual_shift
@@ -377,6 +408,7 @@ def register_cascade(
         import math
 
         min_s = min(flow_in.shape[2:])
+        requested_levels = flow_levels
         flow_levels = min(
             flow_levels, max(1, int(math.log2(max(1, min_s // 8))) + 1)
         )
@@ -387,6 +419,12 @@ def register_cascade(
             if isinstance(flow_smooth, (tuple, list))
             else (float(flow_smooth),) * flow_levels
         )
+        if len(smooths) == requested_levels and flow_levels < requested_levels:
+            # The depth clamp dropped coarse levels (small volume); a smooth
+            # schedule sized to the REQUESTED count would otherwise raise a
+            # confusing error naming a level count the caller never passed.
+            # The pyramid keeps its finest levels, so keep the tail entries.
+            smooths = smooths[-flow_levels:]
         if len(smooths) != flow_levels:
             raise ValueError(
                 f"flow_smooth tuple has {len(smooths)} entries for "
@@ -413,14 +451,26 @@ def register_cascade(
                 # optimizing the same total field.
                 params = upsample_flow(params, f_in.shape[2:])
                 if flow_rebase:
-                    # Residual rebase: spend ONE full-window warp to bake the
+                    # Residual rebase: spend ONE wide-window warp to bake the
                     # total-so-far into the level input, then optimize a
                     # zero-init residual under the small window — the hot
                     # per-step sweep shrinks from 2*flow_max_disp+1 to
                     # 2*flow_residual_disp+1 terms per axis (docstring above).
+                    # The one-shot warp's window must cover the WORST-CASE
+                    # upsampled composite (each upsample doubles voxel
+                    # magnitudes): coarse window f doubled li times plus the
+                    # doubled residual slack — out-of-window parts of a
+                    # one-shot warp are zeroed permanently (unlike the
+                    # warm-start path's self-correcting in-loop window).
+                    # One wide warp per level; not a per-step cost.
                     total_flow = params
+                    # (this branch only runs at li >= 1, where 2^li - 2 >= 0)
+                    rebase_win = (
+                        flow_max_disp * 2**li
+                        + flow_residual_disp * (2**li - 2)
+                    )
                     base_in = warp_flow_separable(
-                        f_in, total_flow, max_disp=flow_max_disp
+                        f_in, total_flow, max_disp=rebase_win
                     )
                     params = None
                     level_disp = flow_residual_disp
@@ -438,10 +488,13 @@ def register_cascade(
                 # v5e (~0.1 s per 120^3 rebase), the sweep is ~3-7 ms. The
                 # window covers the composed magnitude: each coarser level
                 # contributes <= flow_max_disp at its own grid, doubled per
-                # upsample (r4 ADVICE).
+                # upsample (r4 ADVICE) — summed over levels 0..li-1 that is
+                # flow_max_disp * (2^(li+1) - 2) at this level's grid (for
+                # li=1 the same 2x window as before; li>=2 needs more).
                 total_flow = upsample_flow(total_flow, f_in.shape[2:])
                 base_in = warp_flow_separable(
-                    f_in, total_flow, max_disp=flow_max_disp * 2**li
+                    f_in, total_flow,
+                    max_disp=flow_max_disp * (2 ** (li + 1) - 2),
                 )
                 params = None  # fresh net: the residual target changed
             _, fres = flow_register(
@@ -490,12 +543,18 @@ def register_cascade(
         # under make_cascade_fn the end-of-run overflow check is a tracer
         # no-op, so windows must be sized statically).
         if flow_model == "unet" and flow_compose:
-            final_bound = flow_max_disp * scale * 2 ** (flow_levels - 1)
+            # Composed magnitude model (comment at the rebase warp above):
+            # level j contributes <= flow_max_disp * 2^(L-1-j) at the finest
+            # flow grid — summed, flow_max_disp * (2^L - 1).
+            final_bound = flow_max_disp * scale * (2**flow_levels - 1)
         elif flow_model == "field" and flow_rebase:
-            # Composed total: coarse full-window field + one small-window
-            # residual per finer level, all in flow-grid voxels.
+            # Worst-case composed total at the finest flow grid: the coarse
+            # level can reach its full window f at its own grid (doubled per
+            # upsample -> f*2^(L-1)), and the level-li residual (<= rd at its
+            # grid) doubles per remaining upsample -> rd*(2^(L-1)-1) summed.
             final_bound = (
-                flow_max_disp + flow_residual_disp * (flow_levels - 1)
+                flow_max_disp * 2 ** (flow_levels - 1)
+                + flow_residual_disp * (2 ** (flow_levels - 1) - 1)
             ) * scale
         else:
             final_bound = flow_max_disp * scale

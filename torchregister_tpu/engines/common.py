@@ -260,10 +260,19 @@ def run_with_progress(
     import numpy as np
 
     carry = engine_fns.make_carry(params0)
+    prev_done = -1
     for end in range(progress_every, epochs + progress_every, progress_every):
         end = min(end, epochs)
         carry = engine_fns.run_chunk(moving, target, carry, jnp.int32(end))
         i_done = int(carry[4])
+        if i_done == prev_done:
+            # A plateau stop that fired EXACTLY at the previous segment
+            # boundary: this chunk exited immediately (i_done < end never
+            # triggered below because the stop landed on i_done == end).
+            # Report it now instead of printing a duplicate progress line.
+            print(f"[{label}] plateau early-stop at epoch {i_done}", flush=True)
+            break
+        prev_done = i_done
         loss_last = float(carry[2])
         params_now = np.concatenate(
             [np.ravel(np.asarray(x)) for x in jax.tree.leaves(carry[0])]

@@ -288,8 +288,12 @@ def flow_register(
     if (
         flow_model == "unet"
         and jnp.dtype(dtype) == jnp.bfloat16
+        and ndim == 3
         and max(spatial) >= 160
     ):
+        # ndim == 3: the probed crash is a 3D-volume workload — 2D bf16
+        # U-Nets at >=160 pixels are orders of magnitude smaller and were
+        # never observed to crash; don't refuse configs beyond the evidence.
         # Probed twice on the axon v5e stack (hbm_ceiling.py, r4): a bf16
         # U-Net forward+backward at >=160^3 reproducibly CRASHES the TPU
         # worker process (UNAVAILABLE "worker crashed" — not an OOM the
@@ -305,6 +309,23 @@ def flow_register(
         )
     if flow_model == "field":
         depth = 0  # no network; keep the build cache key stable
+        if optimizer == "sgd" and lr <= 1e-2:
+            # The unet-parity defaults (sgd, lr=1e-3) are a measured near-
+            # no-op on a direct field: per-voxel gradients are ~1/numel-
+            # scaled, so 150 SGD epochs move the field ~0.5% (api.py
+            # resolves adam/lr=0.3 for field mode; the engine keeps its
+            # reference-parity defaults but must not fail silently).
+            import warnings
+
+            warnings.warn(
+                f"flow_register(flow_model='field') with optimizer='sgd' and "
+                f"lr={lr:g}: SGD at unet-scale learning rates barely moves a "
+                "direct field (measured ~0.5% RMSE reduction in 150 epochs). "
+                "Use optimizer='adam' with lr~0.3 (the api.Register default "
+                "for field mode), or raise lr substantially.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     elif depth is None:
         depth = max_depth_for(spatial)
         if depth == 0:
@@ -312,7 +333,9 @@ def flow_register(
     run, model, init_fn, make_carry, run_chunk, run_finalize = _build_flow_fn(
         tuple(criteria), tuple(w), float(lr), int(max_epochs), float(stop_crit),
         optimizer, ndim, in_c, float(n), int(depth), method, int(max_disp),
-        str(dtype), bool(remat), bool(use_attention), bool(use_norm),
+        # canonical dtype name: str() of a dtype CLASS (jnp.bfloat16) is
+        # "<class ...>", which jnp.dtype() inside the builder rejects
+        jnp.dtype(dtype).name, bool(remat), bool(use_attention), bool(use_norm),
         str(flow_model), float(smooth),
         None if stop_rel is None else float(stop_rel), int(patience),
     )
@@ -331,16 +354,30 @@ def flow_register(
             params0[k] = jnp.zeros_like(params0[k])
     if progress_every:
         carry = make_carry(params0)
+        prev_done = -1
         for end in range(progress_every, max_epochs + progress_every,
                          progress_every):
             end = min(end, max_epochs)
             carry = run_chunk(moving, target, carry, jnp.int32(end))
             i_done, last = int(carry[2]), float(carry[4])
+            if i_done == prev_done:
+                # stop fired exactly at the previous segment boundary: this
+                # chunk was a no-op — report without a duplicate progress line
+                print(f"[flow_register] early stop at epoch {i_done}",
+                      flush=True)
+                break
+            prev_done = i_done
             print(f"[flow_register] epoch {i_done}/{max_epochs} "
                   f"loss={last:.6g}", flush=True)
             if i_done < end or last <= stop_crit:
-                print(f"[flow_register] converged at epoch {i_done} "
-                      f"(loss <= {stop_crit:g})")
+                # name the actual cause: stop_crit (reference parity) vs the
+                # plateau stop_rel extension — the old line claimed
+                # "loss <= stop_crit" for both
+                cause = (f"loss <= {stop_crit:g}" if last <= stop_crit
+                         else f"plateau (stop_rel={stop_rel}, "
+                              f"patience={patience})")
+                print(f"[flow_register] stopped at epoch {i_done} ({cause})",
+                      flush=True)
                 break
         flow, warped, losses, steps, converged, params, maxd = run_finalize(
             moving, carry

@@ -59,7 +59,7 @@ def get_criterion(spec, **kwargs) -> Criterion:
     raise TypeError(f"criterion spec must be str or callable, got {type(spec)}")
 
 
-def default_criteria(small_nmi_for: int | None = None) -> tuple[Criterion, ...]:
+def default_criteria() -> tuple[Criterion, ...]:
     """The reference default stack (warpings.py:37): MSE, NCC(100), NMI(1000)."""
     return (mse, ncc, nmi_loss)
 

@@ -208,7 +208,17 @@ def get_pdf(
     huge intensity ranges degrades gracefully to the exact path instead of a
     wrong density. ``'exact'``/``'binned'`` force a path.
     """
-    signals = data.reshape(data.shape[0], -1)
+    if method not in ("auto", "exact", "binned"):
+        raise ValueError(
+            f"get_pdf method must be 'auto', 'exact', or 'binned' "
+            f"(got {method!r})"
+        )
+    # f32 accumulation: the KDE sums thousands of kernel terms per sample
+    # point — in bf16 the reduction loses the density entirely (the same
+    # failure mode CLAUDE.md documents for volume means; measured: loss off
+    # by 4-5 orders, gradient cosine ~0 vs f32). Losses upcast, like
+    # losses/similarity.py.
+    signals = data.reshape(data.shape[0], -1).astype(jnp.float32)
     # Bounds are detached: the reference reads them via ``.item()``
     # (utils.py:45-46), so no gradient flows through the sample-point grid.
     hi = jax.lax.stop_gradient(jnp.max(signals))
@@ -237,8 +247,13 @@ def _density_from_hist(H, x0, xe, xis, bandwidth, L):
     return H @ kmat / (bandwidth * L)
 
 
-def _nmi_hists_binned(s1, s2, sj, xis1, xis2, xisj, bins, bandwidth):
+def _nmi_hists_binned(s1, s2, _sj, xis1, xis2, xisj, bandwidth):
     """Binned-KDE marginal + pooled-joint densities with ONE shared fine grid.
+
+    ``_sj`` is signature ballast: ``nmi``'s ``lax.cond`` passes one operand
+    tuple to both branches and only the exact branch consumes the pooled
+    concat (here the joint histogram is ``H1 + H2`` — same pooled samples,
+    no 2L-voxel splat).
 
     The reference's "joint histogram" is the KDE of the *pooled concat*
     (utils.py:62-63), so on a grid spanning the joint range the joint fine
@@ -270,8 +285,12 @@ def nmi(
     *joint* range, the exact per-voxel path otherwise — one runtime
     ``lax.cond``.
     """
-    s1 = img1.reshape(img1.shape[0], -1)
-    s2 = img2.reshape(img2.shape[0], -1)
+    # f32 KDE accumulation regardless of image dtype (see get_pdf) — bf16
+    # kernel-sum reductions produce garbage densities AND gradients, and this
+    # path is reachable via matrix_dtype='bfloat16' + the reference default
+    # criterion stack.
+    s1 = img1.reshape(img1.shape[0], -1).astype(jnp.float32)
+    s2 = img2.reshape(img2.shape[0], -1).astype(jnp.float32)
     sj = jnp.concatenate((s1, s2), axis=1)  # == stack((img1,img2),1) flat
 
     def xis_of(s):
@@ -283,7 +302,7 @@ def nmi(
     fine = jnp.abs(xisj[-1] - xisj[0]) / (_FINE_BINS - 1)
 
     def binned(args):
-        return _nmi_hists_binned(*args, bins, bandwidth)
+        return _nmi_hists_binned(*args, bandwidth)
 
     def exact(args):
         s1_, s2_, sj_, x1, x2, xj = args

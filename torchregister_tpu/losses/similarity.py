@@ -65,13 +65,24 @@ def lncc(y: jnp.ndarray, yp: jnp.ndarray, win: int = 9, alpha: float = 100.0) ->
     """
     d = y.ndim - 2
     n = float(win**d)
+    # f32 moments (see mse note: bf16 window/volume sums lose the mean), and
+    # global-mean centering first: the one-pass E[x^2] - E[x]^2 form
+    # catastrophically cancels in f32 when intensities ride a large DC offset
+    # (un-norm()'d images) — centering removes the offset without a second
+    # box-filter pass. Window-local means are still subtracted below.
+    y = y.astype(jnp.float32)
+    yp = yp.astype(jnp.float32)
+    y = y - jnp.mean(y)
+    yp = yp - jnp.mean(yp)
     s_y = _box_filter(y, win)
     s_p = _box_filter(yp, win)
     s_yy = _box_filter(y * y, win)
     s_pp = _box_filter(yp * yp, win)
     s_yp = _box_filter(y * yp, win)
     cross = s_yp - s_y * s_p / n
-    var_y = s_yy - s_y * s_y / n
-    var_p = s_pp - s_p * s_p / n
+    # clamp: roundoff can leave tiny negative variances whose PRODUCT is
+    # positive — flipping cc's sign (instance_norm clamps the same formula)
+    var_y = jnp.maximum(s_yy - s_y * s_y / n, 0.0)
+    var_p = jnp.maximum(s_pp - s_p * s_p / n, 0.0)
     cc = (cross * cross) / (var_y * var_p + 1e-5)
     return (1.0 - jnp.mean(cc)) * alpha

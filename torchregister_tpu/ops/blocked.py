@@ -827,6 +827,14 @@ def warp_flow_fast(src, flow, max_disp: float | None = None):
     from .resample import warp_flow
 
     spatial = src.shape[2:]
+    if flow.shape[0] != src.shape[0]:
+        # The blocked path pads flow[0] and never re-checks the batch axis —
+        # a flow batch wider than src would be silently dropped here while
+        # the exact fallback raises a vmap mismatch. Fail loudly on both.
+        raise ValueError(
+            f"warp_flow_fast: src batch {src.shape[0]} != flow batch "
+            f"{flow.shape[0]} (one flow field per source element)"
+        )
     if (
         (max_disp is None and isinstance(flow, jax.core.Tracer))
         or len(spatial) not in (2, 3)

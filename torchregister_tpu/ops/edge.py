@@ -84,9 +84,14 @@ def sobel_kernels_2d(n1: float = 1, n2: float = 2) -> np.ndarray:
 
 
 def _minmax_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample min-max over ``[B, ...]`` (batch axis 0 independent: one
+    high-dynamic-range volume must not compress the other samples' gradients
+    below threshold — the reference only ever normalizes a single volume,
+    utils.py:262-267, so per-sample IS its semantics batched)."""
     eps = 1e-9  # the local epsilon in the reference's norm() (utils.py:263)
-    lo = jnp.min(x)
-    hi = jnp.max(x)
+    axes = tuple(range(1, x.ndim))
+    lo = jnp.min(x, axis=axes, keepdims=True)
+    hi = jnp.max(x, axis=axes, keepdims=True)
     return (x - lo) / ((hi - lo) + eps)
 
 

@@ -75,11 +75,13 @@ def com_rigid_params(
 
 
 def _normalized_coords(shape):
-    """Per-array-axis 1D normalized coordinates (align_corners=False:
-    ``(2i - (S-1)) / S`` — the affine_grid convention the warps use)."""
-    return [
-        (2.0 * jnp.arange(s, dtype=jnp.float32) - (s - 1)) / s for s in shape
-    ]
+    """Per-array-axis 1D normalized coordinates — delegates to the single
+    source of the align_corners=False convention (ops/grid._axis_coords,
+    ``(2i+1)/S - 1``) so the moment init can never drift from the warps'
+    coordinate frame."""
+    from .grid import _axis_coords
+
+    return [_axis_coords(s, align_corners=False, dtype=jnp.float32) for s in shape]
 
 
 def coordinate_moments(img: jnp.ndarray):

@@ -33,9 +33,9 @@ Two block layouts (both probed on v5e through the axon stack):
 Variant choice is by a calibrated VMEM model (see the `_VMEM_*` constants):
 each pallas_call requests a raised scoped-VMEM limit via
 ``CompilerParams(vmem_limit_bytes=...)`` — the 16 MB default is a compiler
-flag, not the v5e's 128 MB of physical VMEM — sized at 3.5x the naive
-ref+temporary estimate (Mosaic's true stack runs 2.5-3.2x it; each unrolled
-einsum statement gets its own stack slot). Variant A is preferred whenever
+flag, not the v5e's 128 MB of physical VMEM — sized at 4x the naive
+ref+temporary estimate (Mosaic's true stack measured 2.5-3.7x it; each
+unrolled einsum statement gets its own stack slot). Variant A is preferred whenever
 its request fits the 100 MB ceiling (measured: 2.95 ms at 120^3 f32, 2.1 ms
 for the Ci=32 decoder shape, 21.9 ms at 240^3 f32 — faster than variant C
 everywhere it compiles); C covers the remainder. z-merged grids (ZT output
@@ -99,7 +99,9 @@ PALLAS_CONV_ENABLED = False
 # request saturates the ceiling still runs (the request is a limit, not a
 # reservation — the 240^3 variant-A stack fits under 100 MB in practice).
 _VMEM_SAFETY = 4.0
-_VMEM_ADMIT = 3.2
+_VMEM_ADMIT = 3.7  # the measured WORST ratio: admitting below it could pass
+# a shape whose true stack exceeds the ceiling -> Mosaic compile error with
+# no fallback. Shapes in the rejected band route to the tap path instead.
 _VMEM_FLOOR = 48 << 20   # covers worst measured ratio for small estimates
 _VMEM_CEIL = 100 << 20
 HC = 64  # variant-C output rows per grid step (multiple of 8 — Mosaic
@@ -278,9 +280,20 @@ def _conv_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     # weights with (dz, ci) merged for the folded-z contraction
     w9 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(9, 3 * Ci, Co)
     variant = _pick_variant(Ci, Co, H, W, jnp.dtype(x.dtype).itemsize)
+    if variant is None:
+        # Reachable via use_pallas=True (which bypasses fits_pallas_conv):
+        # running variant A anyway would surface as a raw Mosaic scoped-VMEM
+        # compile error with no hint the sizing model rejected the shape.
+        raise ValueError(
+            f"pallas conv3x3x3: no VMEM-admissible variant for shape "
+            f"Ci={Ci} Co={Co} Z={Z} H={H} W={W} "
+            f"(itemsize {jnp.dtype(x.dtype).itemsize}) — the estimated "
+            f"Mosaic stack exceeds the {_VMEM_CEIL >> 20} MB ceiling on "
+            "both variants; use the tap-decomposed conv (use_pallas=False)"
+        )
     if variant == "c":
         out = _fwd_c(x, w9, Ci, Co, Z, H, Wp, Wo_p)
-    else:  # 'a' (callers gate on fits_pallas_conv; default to A)
+    else:
         out = _fwd_a(x, w9, Ci, Co, Z, H, Wp, Wo_p)
     return out[..., :Wo]
 

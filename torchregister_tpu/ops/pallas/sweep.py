@@ -143,7 +143,10 @@ def _sweep_vjp_bwd(K, res, g):
     def lin(s):
         return _sweep_fori(s[None, None], q[None, None], 1, K)[0, 0]
 
-    _, pullback = jax.vjp(lin, src)
+    # linear_transpose, not jax.vjp: the map is linear in src, and vjp would
+    # EXECUTE a full throwaway forward sweep (n_terms HBM passes) just to
+    # build the same pullback.
+    pullback = jax.linear_transpose(lin, src)
     (dsrc,) = pullback(g)
     return dsrc, dq
 

@@ -87,8 +87,12 @@ def grid_sample(
     torch innermost-first channel order.
     """
     spatial = src.shape[2:]
+    # Promote BEFORE the denormalization arithmetic: ((x+1)*S - 1)/2 in bf16
+    # has ulp ~1-2 voxels at S~200 — casting after would be dead code on
+    # already-quantized indices.
+    grid = grid.astype(jnp.promote_types(grid.dtype, jnp.float32))
     coords = normalized_to_index(grid, spatial, align_corners)
-    return multilinear_sample(src, coords.astype(jnp.promote_types(grid.dtype, jnp.float32)))
+    return multilinear_sample(src, coords)
 
 
 @partial(jax.jit, static_argnames=("align_corners",))
@@ -121,7 +125,11 @@ def warp_flow(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """
     spatial = src.shape[2:]
     d = len(spatial)
-    ident = identity_index_grid(spatial, dtype=flow.dtype)  # [d, *S]
-    coords = ident[None] + flow  # [N, d, *S]
+    # f32 coordinates even for reduced-precision flows: bf16(150.0 + 0.25)
+    # == 150.0 (index ulp is 1.0 beyond 128), which would round every
+    # sub-voxel displacement away at larger coordinates.
+    cdtype = jnp.promote_types(flow.dtype, jnp.float32)
+    ident = identity_index_grid(spatial, dtype=cdtype)  # [d, *S]
+    coords = ident[None] + flow.astype(cdtype)  # [N, d, *S]
     coords = jnp.moveaxis(coords, 1, -1)  # [N, *S, d]
     return multilinear_sample(src, coords)

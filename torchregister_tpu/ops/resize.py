@@ -35,17 +35,26 @@ def axis_nearest_resize(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray
         return x
     idx = (np.arange(out_size) * in_size) // out_size
     onehot = jnp.asarray(np.eye(in_size, dtype=np.float32)[idx])  # [out, in]
-    x = jnp.moveaxis(x, axis, -1)
+    xm = jnp.moveaxis(x, axis, -1)
     y = jnp.einsum(
-        "...i,oi->...o", x, onehot, precision=jax.lax.Precision.HIGHEST
+        "...i,oi->...o", xm, onehot, precision=jax.lax.Precision.HIGHEST
     )
-    return jnp.moveaxis(y, -1, axis)
+    # Selection is exact (one 1.0 per row) and the f32 contraction represents
+    # bf16/int(<2^24) values exactly — cast back so the op preserves dtype
+    # like torch F.interpolate (a bf16 network's gate maps must stay bf16).
+    return jnp.moveaxis(y.astype(x.dtype), -1, axis)
 
 
 @partial(jax.jit, static_argnames=("out_spatial",))
 def nearest_resize(x: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     """Nearest resize of ``x [N, C, *S]`` to ``out_spatial`` (torch 'nearest')."""
     spatial = x.shape[2:]
+    if len(out_spatial) != len(spatial):
+        raise ValueError(
+            f"nearest_resize: out_spatial {tuple(out_spatial)} has "
+            f"{len(out_spatial)} dims for input spatial shape {spatial} "
+            f"({len(spatial)} dims) — zip would silently skip axes"
+        )
     for axis, (s_in, s_out) in enumerate(zip(spatial, out_spatial)):
         x = axis_nearest_resize(x, 2 + axis, s_out)
     return x

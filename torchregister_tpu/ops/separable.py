@@ -320,7 +320,10 @@ def sweep_resample_axis(
     # XLA's fori path caches the padded source on-chip and wins.
     rows = int(np.prod(src.shape)) // size
     padded_bytes = rows * (size + 2 * K + 3) * 4
-    if jax.default_backend() != "cpu" and padded_bytes > 12_000_000:
+    # K >= 3: the kernel's static sub-offset slices need P = X+2K+3 >= X+9
+    # lanes (a small-window batched warp can land here via the fused-bytes
+    # branch and would fail to trace with clamped slices).
+    if K >= 3 and jax.default_backend() != "cpu" and padded_bytes > 12_000_000:
         from .pallas.sweep import sweep_lastaxis
 
         full_shape = jnp.broadcast_shapes(src.shape, q.shape[:2] + src.shape[2:])
@@ -462,6 +465,11 @@ def warp_affine_separable(
                 stacklevel=2,
             )
             return warp_affine(theta, moving, align_corners)
+    if max_shift is not None and not isinstance(max_shift, int):
+        # The jitted core takes max_shift as a static argument, which must be
+        # hashable — normalize the advertised Sequence[int] form (a list
+        # would raise "Non-hashable static arguments").
+        max_shift = tuple(max_shift)
     return _warp_affine_separable(theta, moving, align_corners, max_shift)
 
 

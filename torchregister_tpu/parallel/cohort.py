@@ -100,6 +100,16 @@ def register_cohort(
     # Mirror Register.__init__/optim's default resolution (api.py:119,137,165)
     # so cohort-wide and per-pair out-of-box behavior never diverge.
     is_field_flow = mode == "flow" and flow_model == "field"
+    if init not in ("identity", "random"):
+        raise ValueError(
+            f"init must be 'identity' or 'random' (got {init!r})"
+        )
+    if init == "random" and mode != "rigid":
+        raise ValueError(
+            "init='random' is only meaningful for mode='rigid' (the "
+            "reference's torch.rand regressor init, utils.py:316-321); "
+            "affine starts at identity and flow at a zero field"
+        )
     if optimizer is None:
         optimizer = "adam" if is_field_flow else "sgd"
     if lr is None:
@@ -172,7 +182,8 @@ def register_cohort(
         run, model, *_rest = _build_flow_fn(
             tuple(criteria), tuple(w), float(lr), int(epochs), float(stop_crit),
             optimizer, ndim, 1, float(n), int(depth),
-            method, int(max_disp), str(dtype),
+            # canonical name (str() of a dtype CLASS breaks the builder)
+            method, int(max_disp), jnp.dtype(dtype).name,
             flow_model=str(flow_model), smooth=float(smooth),
             stop_rel=srel, patience=int(patience),
         )
@@ -184,11 +195,7 @@ def register_cohort(
             params0 = jax.jit(
                 jax.vmap(lambda k, m: model.init(k, m[None])["params"])
             )(keys, movings)
-
-        def one(mov, tgt, p0):
-            return run(mov[None], tgt[None], p0)
-
-        batched = jax.vmap(one)
+        batched = _per_pair(run)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 

@@ -14,14 +14,21 @@ import jax
 import numpy as np
 
 
-def save_pytree(path: str, tree: Any) -> None:
-    """Save any pytree of arrays to ``path`` (npz + proto treedef manifest)."""
+def save_pytree(path: str, tree: Any) -> str:
+    """Save any pytree of arrays to ``path`` (npz + proto treedef manifest).
+
+    Returns the path actually written: ``np.savez`` silently appends ``.npz``
+    when missing, so normalizing here keeps callers' reported filenames (and
+    subsequent ``load_pytree`` calls) honest."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     leaves, treedef = jax.tree.flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         treedef.serialize_using_proto(), dtype=np.uint8
     )
     np.savez(path, **arrays)
+    return path
 
 
 def load_pytree(path: str) -> Any:
@@ -45,8 +52,8 @@ def save_transform(path: str, register) -> None:
     if register.theta is None:
         raise ValueError("Register has no fitted transform to save")
     key = "flow" if register.mode == "flow" else "theta"
-    save_pytree(path, {"mode": np.asarray(register.mode),
-                       key: np.asarray(register.theta)})
+    return save_pytree(path, {"mode": np.asarray(register.mode),
+                              key: np.asarray(register.theta)})
 
 
 def load_transform(path: str, register) -> None:
@@ -61,7 +68,24 @@ def load_transform(path: str, register) -> None:
     tree = load_pytree(path)
     import jax.numpy as jnp
 
+    has_theta = "theta" in tree
+    has_flow = "flow" in tree
+    if has_theta and has_flow:
+        # A CLI cascade transform: matrix + field applied in sequence. A
+        # Register holds ONE transform — loading either half alone would
+        # silently produce a wrong warp.
+        raise ValueError(
+            f"{path} stores a composite cascade transform (theta AND flow); "
+            "a Register holds a single transform. Apply it with the CLI "
+            "(`python -m torchregister_tpu apply`), which chains matrix then "
+            "flow."
+        )
     saved_mode = str(tree.get("mode", ""))
+    if not saved_mode or saved_mode == "cascade":
+        # Mode-less files (older, or hand-built) and single-component
+        # cascade saves: infer from the payload key — the check below is
+        # this function's whole purpose and must not be skippable.
+        saved_mode = "flow" if has_flow else ("rigid" if has_theta else "")
     matrixish = ("rigid", "affine")
     compatible = saved_mode == register.mode or (
         saved_mode in matrixish and register.mode in matrixish

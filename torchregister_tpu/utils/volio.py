@@ -18,7 +18,25 @@ from typing import Optional, Sequence
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "volio.cpp")
-_LIB_CACHE = os.path.join(tempfile.gettempdir(), "torchregister_tpu_volio.so")
+
+
+def _cache_path() -> str:
+    """Per-user, 0700 cache dir — never the world-shared /tmp: a fixed
+    predictable /tmp path lets another local user pre-plant a malicious .so
+    that ``ctypes.CDLL`` would execute, and concurrent builds could dlopen a
+    half-written file."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = os.path.join(base, "torchregister_tpu")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+    except OSError:
+        d = tempfile.mkdtemp(prefix="torchregister_tpu_")
+    return os.path.join(d, "volio.so")
+
+
+_LIB_CACHE = _cache_path()
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
@@ -29,11 +47,19 @@ def _build_lib() -> Optional[str]:
         return None
     if os.path.exists(_LIB_CACHE) and os.path.getmtime(_LIB_CACHE) >= os.path.getmtime(src):
         return _LIB_CACHE
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _LIB_CACHE, "-lz", "-lpthread"]
+    # Atomic publish: compile to a process-unique temp name, then rename —
+    # a concurrent process either sees the complete .so or none.
+    tmp = f"{_LIB_CACHE}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp, "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_CACHE)
         return _LIB_CACHE
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
