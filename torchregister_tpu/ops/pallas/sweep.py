@@ -134,20 +134,34 @@ def _sweep_vjp_fwd(src, q, K):
 def _sweep_vjp_bwd(K, res, g):
     src, q, diff = res
     dq = g * diff
-    # d src via the transpose of the linear-in-src sweep: transpose the XLA
-    # fori formulation (identical semantics, no Pallas re-entry). Full-window
-    # *differentiated* warps are rare — engine loops use small unrolled
-    # windows — so the slower transpose path is acceptable here.
-    from ..separable import _sweep_fori
+    # d src: hand-written transpose of the linear-in-src sweep. The forward
+    # (matching `separable._sweep_fori`) reads ``out[o] = sum_s w_s[o] *
+    # src[o+s]`` with ``w_s = (1-fr)[k==s] + fr[k==s-1]``, so the adjoint
+    # scatter-adds ``g*w_s`` at offset ``s`` into a padded accumulator — the
+    # exact mirror of the forward's dynamic-slice reads, one pass per term
+    # and NO throwaway forward. (jax.linear_transpose over the fori/scan
+    # formulation fails on current jax — ValAccum enters the scan carry.)
+    R, X = src.shape
+    q = q.astype(jnp.float32)
+    q0 = jnp.floor(q)
+    fr = q - q0
+    iota_x = jnp.arange(X, dtype=jnp.float32)[None, :]
+    k = q0 - iota_x
+    n_terms = 2 * K + 2
+    g = g.astype(src.dtype)
+    fr = fr.astype(src.dtype)
 
-    def lin(s):
-        return _sweep_fori(s[None, None], q[None, None], 1, K)[0, 0]
+    def body(i, acc):
+        s = (i - K).astype(k.dtype)
+        w = jnp.where(k == s, 1.0 - fr, 0.0) + jnp.where(k == s - 1.0, fr, 0.0)
+        t = g * w
+        start = i + 1  # = s + K + 1: the forward's read offset, mirrored
+        seg = jax.lax.dynamic_slice_in_dim(acc, start, X, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(acc, seg + t, start, axis=1)
 
-    # linear_transpose, not jax.vjp: the map is linear in src, and vjp would
-    # EXECUTE a full throwaway forward sweep (n_terms HBM passes) just to
-    # build the same pullback.
-    pullback = jax.linear_transpose(lin, src)
-    (dsrc,) = pullback(g)
+    acc0 = jnp.zeros((R, X + 2 * K + 3), src.dtype)
+    acc = jax.lax.fori_loop(0, n_terms, body, acc0)
+    dsrc = jax.lax.slice_in_dim(acc, K + 1, K + 1 + X, axis=1)
     return dsrc, dq
 
 
